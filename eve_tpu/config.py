@@ -1,0 +1,297 @@
+"""Configuration system for the eve_tpu framework.
+
+Reproduces the behavior of the reference config layer
+(``/root/reference/src/core/config_default.py:31-287``): a singleton object
+holding typed parameters, JSON-file and dict/CLI overrides with strict type
+checking (int -> float coercion only), immutability outside ``import_*`` /
+``override``, derived ``learning_rate`` property, full-config JSON dump and
+run-provenance capture (``combined.json`` + ``src.zip`` of all sources).
+
+Key names match the reference exactly so that the reference's JSON configs
+(``src/configs/eye_net.json``, ``src/configs/refine_net.json``) run unmodified.
+TPU-specific additions are grouped at the end and prefixed ``tpu_`` / ``jax_``.
+"""
+
+import glob
+import json
+import logging
+import os
+import sys
+import zipfile
+
+logger = logging.getLogger(__name__)
+
+
+class DefaultConfig(object):
+    """Singleton configuration object.
+
+    Precedence: class defaults -> JSON files (in argv order) -> CLI flags.
+    """
+
+    # Tag appended to the experiment identifier
+    identifier_suffix = ''
+
+    # Misc. notes
+    note = ''
+
+    # Data sources
+    datasrc_eve = '/path/to/eve/dataset'
+
+    # Data loading
+    video_decoder_codec = 'libx264'  # libx264 | nvdec (ignored; cv2/ffmpeg host decode)
+    assumed_frame_rate = 10  # Frames are skipped from source videos accordingly
+    max_sequence_len = 30  # In frames assuming 10 Hz
+    face_size = [256, 256]  # width, height
+    eyes_size = [128, 128]  # width, height
+    screen_size = [128, 72]  # width, height
+    actual_screen_size = [1920, 1080]  # DO NOT CHANGE
+    camera_frame_type = 'eyes'  # full | face | eyes
+    load_screen_content = False
+    load_full_frame_for_visualization = False
+
+    train_cameras = ['basler', 'webcam_l', 'webcam_c', 'webcam_r']
+    train_stimuli = ['image', 'video', 'wikipedia']
+    test_cameras = ['basler', 'webcam_l', 'webcam_c', 'webcam_r']
+    test_stimuli = ['image', 'video', 'wikipedia']
+
+    # Inference
+    input_path = ''
+    output_path = ''
+
+    # Training
+    skip_training = False
+    fully_reproducible = False
+
+    batch_size = 16
+    weight_decay = 0.001
+    num_epochs = 10.0
+
+    train_data_workers = 8
+
+    log_every_n_steps = 1
+    tensorboard_scalars_every_n_steps = 1
+    tensorboard_images_every_n_steps = 10
+    tensorboard_learning_rate_every_n_steps = 100
+
+    # Learning rate
+    base_learning_rate = 0.0005
+
+    @property
+    def learning_rate(self):
+        return self.batch_size * self.base_learning_rate
+
+    # LR schedule: 'none' | 'exponential' | 'cyclic'
+    num_warmup_epochs = 0.0
+    lr_decay_strategy = 'none'
+    lr_decay_factor = 0.5
+    lr_decay_epoch_interval = 0.5
+
+    # Gradient clipping
+    do_gradient_clipping = True
+    gradient_clip_by = 'norm'  # 'norm' or 'value'
+    gradient_clip_amount = 5.0
+
+    # Eye gaze network configuration
+    eye_net_load_pretrained = False
+    eye_net_frozen = False
+    eye_net_use_rnn = True
+    eye_net_rnn_type = 'GRU'  # 'RNN' | 'LSTM' | 'GRU'
+    eye_net_rnn_num_cells = 1
+    eye_net_rnn_num_features = 128
+    eye_net_static_num_features = 128
+    eye_net_use_head_pose_input = True
+    loss_coeff_PoG_cm_initial = 0.0
+    loss_coeff_g_ang_initial = 1.0
+    loss_coeff_pupil_size = 1.0
+
+    # Conditional refine network configuration
+    refine_net_enabled = False
+    refine_net_load_pretrained = False
+
+    refine_net_do_offset_augmentation = True
+    refine_net_offset_augmentation_sigma = 3.0
+
+    refine_net_use_skip_connections = True
+
+    refine_net_use_rnn = True
+    refine_net_rnn_type = 'CGRU'  # 'CRNN' | 'CLSTM' | 'CGRU'
+    refine_net_rnn_num_cells = 1
+    refine_net_num_features = 64
+    loss_coeff_heatmap_ce_initial = 0.0
+    loss_coeff_heatmap_ce_final = 1.0
+    loss_coeff_heatmap_mse_final = 0.0
+    loss_coeff_PoG_cm_final = 0.001
+
+    # Heatmaps
+    gaze_heatmap_size = [128, 72]
+    gaze_heatmap_sigma_initial = 10.0  # in pixels
+    gaze_heatmap_sigma_history = 3.0  # in pixels
+    gaze_heatmap_sigma_final = 5.0  # in pixels
+    gaze_history_map_decay_per_ms = 0.999
+
+    # Evaluation
+    test_num_samples = 128
+    test_batch_size = 128
+    test_data_workers = 0
+    test_every_n_steps = 500
+    full_test_batch_size = 128
+    full_test_data_workers = 4
+
+    codalab_eval_batch_size = 128
+    codalab_eval_data_workers = 1
+
+    # Checkpoints management
+    checkpoints_save_every_n_steps = 100
+    checkpoints_keep_n = 3
+    resume_from = ''
+
+    # Google Sheets related
+    gsheet_secrets_json_file = ''
+    gsheet_workbook_key = ''
+
+    # ------------------------------------------------------------------
+    # TPU / JAX-specific additions (not present in the reference)
+    # ------------------------------------------------------------------
+
+    # Computation dtype for the CNN stacks: 'float32' | 'bfloat16'.
+    # Geometry, soft-argmax and losses always accumulate in float32.
+    tpu_compute_dtype = 'float32'
+
+    # Use fused Pallas kernels for heatmap render / soft-argmax on TPU.
+    tpu_use_pallas = True
+
+    # Data-parallel mesh size; 0 = use all visible devices.
+    tpu_num_devices = 0
+
+    # Directory for jax.profiler traces ('' disables).
+    profile_dir = ''
+
+    # Reference-compat switches: replicate reference quirks bit-for-bit
+    # (LambdaLR absolute-vs-factor LR mixup; CLSTM bottleneck output discard).
+    # See SURVEY.md section 7 "Hard parts" item 4.
+    reference_compat_lr_schedule = False
+    reference_compat_clstm_carry_only = True
+
+    # Host data pipeline
+    prefetch_buffer_size = 2
+    use_native_framepack = True
+
+    # ------------------------------------------------------------------
+    # Machinery (singleton, imports, provenance)
+    # ------------------------------------------------------------------
+
+    __instance = None
+
+    def __new__(cls):
+        if cls.__instance is None:
+            cls.__instance = super().__new__(cls)
+            cls.__filecontents = cls.__get_config_file_contents()
+            cls.__immutable = True
+        return cls.__instance
+
+    @classmethod
+    def _reset_instance_for_testing(cls):
+        """Drop the singleton (tests only)."""
+        cls.__instance = None
+
+    def import_json(self, json_path, strict=True):
+        """Import a JSON config file, overriding existing entries."""
+        assert os.path.isfile(json_path)
+        logger.info('Loading %s', json_path)
+        with open(json_path, 'r') as f:
+            json_string = f.read()
+        self.import_dict(json.loads(json_string), strict=strict)
+        self.__class__.__filecontents[os.path.basename(json_path)] = json_string
+
+    def override(self, key, value):
+        self.__class__.__immutable = False
+        try:
+            setattr(self, key, value)
+        finally:
+            self.__class__.__immutable = True
+
+    def import_dict(self, dictionary, strict=True):
+        """Import key/value pairs, with strict type agreement checks."""
+        self.__class__.__immutable = False
+        try:
+            for key, value in dictionary.items():
+                if strict:
+                    if not hasattr(self, key):
+                        raise ValueError('Unknown configuration key: ' + key)
+                    if type(getattr(self, key)) is float and type(value) is int:
+                        value = float(value)
+                    else:
+                        if type(getattr(self, key)) is not type(value):
+                            raise TypeError(
+                                'Type mismatch for key "%s": expected %s, got %s'
+                                % (key, type(getattr(self, key)).__name__,
+                                   type(value).__name__))
+                    if not isinstance(getattr(DefaultConfig, key, None), property):
+                        setattr(self, key, value)
+                else:
+                    if hasattr(DefaultConfig, key):
+                        if not isinstance(getattr(DefaultConfig, key), property):
+                            setattr(self, key, value)
+                    else:
+                        setattr(self, key, value)
+        finally:
+            self.__class__.__immutable = True
+
+    @staticmethod
+    def __get_config_file_contents():
+        out = {}
+        path = os.path.abspath(__file__)
+        with open(path, 'r') as f:
+            out[os.path.basename(path)] = f.read()
+        return out
+
+    def get_all_key_values(self):
+        return dict([
+            (key, getattr(self, key))
+            for key in dir(self)
+            if not key.startswith('_DefaultConfig')
+            and not key.startswith('__')
+            and not callable(getattr(self, key))
+        ])
+
+    def get_full_json(self):
+        return json.dumps(self.get_all_key_values(), indent=4)
+
+    def write_file_contents(self, target_base_dir):
+        """Write config provenance (combined.json + sources zip) to a run dir."""
+        assert os.path.isdir(target_base_dir)
+        target_dir = os.path.join(target_base_dir, 'configs')
+        os.makedirs(target_dir, exist_ok=True)
+        outputs = {'combined.json': self.get_full_json()}
+        outputs.update(self.__class__.__filecontents)
+        for fname, content in outputs.items():
+            fpath = os.path.join(target_dir, fname)
+            with open(fpath, 'w') as f:
+                f.write(content)
+            logger.info('Written %s', fpath)
+
+        # Zip up all framework sources for provenance
+        target_path = os.path.join(target_base_dir, 'src.zip')
+        source_path = os.path.dirname(os.path.abspath(__file__))
+        with zipfile.ZipFile(target_path, 'w', zipfile.ZIP_DEFLATED) as zf:
+            for pattern in ('/**/*.py', '/**/*.json'):
+                for full_path in glob.glob(source_path + pattern, recursive=True):
+                    if os.path.isfile(full_path):
+                        zf.write(full_path,
+                                 os.path.relpath(full_path,
+                                                 os.path.dirname(source_path)))
+            main_script = os.path.abspath(sys.argv[0]) if sys.argv else None
+            if main_script and os.path.isfile(main_script) \
+                    and main_script.endswith('.py'):
+                zf.write(main_script, os.path.basename(main_script))
+        logger.info('Written source folder to %s', target_path)
+
+    def __setattr__(self, name, value):
+        if self.__class__.__immutable:
+            raise AttributeError('DefaultConfig instance attributes are immutable.')
+        super().__setattr__(name, value)
+
+    def __delattr__(self, name):
+        if self.__class__.__immutable:
+            raise AttributeError('DefaultConfig instance attributes are immutable.')
+        super().__delattr__(name)
