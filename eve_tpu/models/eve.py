@@ -1,0 +1,612 @@
+"""EVE composite model: EyeNet + geometry + heatmaps + RefineNet + losses.
+
+Functionally equivalent to the reference ``EVE`` module
+(``/root/reference/src/models/eve.py:49-601``) but restructured TPU-first.
+The reference iterates timesteps in Python (eve.py:91), running both full
+networks once per frame and threading string-keyed dicts between steps. Here
+the clip batch is processed as:
+
+  1. ResNet features for all (B, T, 2 eyes) frames in one MXU batch.
+  2. ``lax.scan`` over T for the dense GRU stack only (carry: (B, 128) x 2).
+  3. Gaze/pupil heads, offset augmentation, screen projection, heatmap
+     render — all batched over (B, T).
+  4. RefineNet encoder for all (B, T) frames in one batch.
+  5. ``lax.scan`` over T for the conv-RNN bottleneck only (carry:
+     (B, 5, 8, 64)).
+  6. RefineNet decoder, soft-argmax, losses — batched.
+
+The output dict keys, loss/metric names and numerics match the reference so
+harness code and evaluation tooling interoperate.
+"""
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eve_tpu import losses as losses_lib
+from eve_tpu.models.eye_net import EyeNet
+from eve_tpu.models.refine_net import RefineNet
+from eve_tpu.ops import geometry as geo
+from eve_tpu.ops import heatmap as hm_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class EveSpec:
+    """Static (hashable) model specification; safe to close over under jit."""
+    # EyeNet
+    eye_net_use_rnn: bool = True
+    eye_net_rnn_type: str = 'GRU'
+    eye_net_rnn_num_cells: int = 1
+    eye_net_num_features: int = 128
+    eye_net_use_head_pose_input: bool = True
+    eye_net_frozen: bool = False
+    # RefineNet
+    refine_net_enabled: bool = False
+    refine_net_do_offset_augmentation: bool = True
+    refine_net_offset_augmentation_sigma: float = 3.0
+    refine_net_use_skip_connections: bool = True
+    refine_net_use_rnn: bool = True
+    refine_net_rnn_type: str = 'CGRU'
+    refine_net_rnn_num_cells: int = 1
+    refine_net_num_features: int = 64
+    clstm_carry_only: bool = True
+    load_screen_content: bool = False
+    # Heatmaps
+    gaze_heatmap_size: Tuple[int, int] = (128, 72)
+    gaze_heatmap_sigma_initial: float = 10.0
+    gaze_heatmap_sigma_history: float = 3.0
+    gaze_heatmap_sigma_final: float = 5.0
+    gaze_history_map_decay_per_ms: float = 0.999
+    actual_screen_size: Tuple[int, int] = (1920, 1080)
+    screen_size: Tuple[int, int] = (128, 72)
+    # Loss coefficients
+    loss_coeff_g_ang_initial: float = 1.0
+    loss_coeff_PoG_cm_initial: float = 0.0
+    loss_coeff_pupil_size: float = 1.0
+    loss_coeff_PoG_cm_final: float = 0.001
+    loss_coeff_heatmap_ce_initial: float = 0.0
+    loss_coeff_heatmap_ce_final: float = 1.0
+    loss_coeff_heatmap_mse_final: float = 0.0
+    # Compute
+    compute_dtype: str = 'float32'
+
+    @classmethod
+    def from_config(cls, config):
+        """Build from a DefaultConfig instance (eve_tpu.config)."""
+        return cls(
+            eye_net_use_rnn=config.eye_net_use_rnn,
+            eye_net_rnn_type=config.eye_net_rnn_type,
+            eye_net_rnn_num_cells=config.eye_net_rnn_num_cells,
+            eye_net_num_features=(config.eye_net_rnn_num_features
+                                  if config.eye_net_use_rnn
+                                  else config.eye_net_static_num_features),
+            eye_net_use_head_pose_input=config.eye_net_use_head_pose_input,
+            eye_net_frozen=config.eye_net_frozen,
+            refine_net_enabled=config.refine_net_enabled,
+            refine_net_do_offset_augmentation=(
+                config.refine_net_do_offset_augmentation),
+            refine_net_offset_augmentation_sigma=(
+                config.refine_net_offset_augmentation_sigma),
+            refine_net_use_skip_connections=(
+                config.refine_net_use_skip_connections),
+            refine_net_use_rnn=config.refine_net_use_rnn,
+            refine_net_rnn_type=config.refine_net_rnn_type,
+            refine_net_rnn_num_cells=config.refine_net_rnn_num_cells,
+            refine_net_num_features=config.refine_net_num_features,
+            clstm_carry_only=config.reference_compat_clstm_carry_only,
+            load_screen_content=config.load_screen_content,
+            gaze_heatmap_size=tuple(config.gaze_heatmap_size),
+            gaze_heatmap_sigma_initial=config.gaze_heatmap_sigma_initial,
+            gaze_heatmap_sigma_history=config.gaze_heatmap_sigma_history,
+            gaze_heatmap_sigma_final=config.gaze_heatmap_sigma_final,
+            gaze_history_map_decay_per_ms=config.gaze_history_map_decay_per_ms,
+            actual_screen_size=tuple(config.actual_screen_size),
+            screen_size=tuple(config.screen_size),
+            loss_coeff_g_ang_initial=config.loss_coeff_g_ang_initial,
+            loss_coeff_PoG_cm_initial=config.loss_coeff_PoG_cm_initial,
+            loss_coeff_pupil_size=config.loss_coeff_pupil_size,
+            loss_coeff_PoG_cm_final=config.loss_coeff_PoG_cm_final,
+            loss_coeff_heatmap_ce_initial=config.loss_coeff_heatmap_ce_initial,
+            loss_coeff_heatmap_ce_final=config.loss_coeff_heatmap_ce_final,
+            loss_coeff_heatmap_mse_final=config.loss_coeff_heatmap_mse_final,
+            compute_dtype=config.tpu_compute_dtype,
+        )
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == 'bfloat16' else jnp.float32
+
+    def build_eye_net(self):
+        return EyeNet(
+            num_features=self.eye_net_num_features,
+            use_rnn=self.eye_net_use_rnn,
+            rnn_type=self.eye_net_rnn_type,
+            rnn_num_cells=self.eye_net_rnn_num_cells,
+            use_head_pose_input=self.eye_net_use_head_pose_input,
+            compute_dtype=self.dtype,
+        )
+
+    def build_refine_net(self):
+        if not self.refine_net_enabled:
+            return None
+        return RefineNet(
+            load_screen_content=self.load_screen_content,
+            use_skip_connections=self.refine_net_use_skip_connections,
+            use_rnn=self.refine_net_use_rnn,
+            rnn_type=self.refine_net_rnn_type,
+            rnn_num_cells=self.refine_net_rnn_num_cells,
+            num_features=self.refine_net_num_features,
+            clstm_carry_only=self.clstm_carry_only,
+            compute_dtype=self.dtype,
+        )
+
+
+def init_params(spec: EveSpec, rng):
+    """Initialize the parameter pytree {'eye_net': ..., 'refine_net': ...}."""
+    k1, k2 = jax.random.split(rng)
+    eye_net = spec.build_eye_net()
+    eye_patch = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    head_pose = jnp.zeros((1, 2), jnp.float32)
+    params = {'eye_net': eye_net.init(k1, eye_patch, head_pose)['params']}
+    refine_net = spec.build_refine_net()
+    if refine_net is not None:
+        w, h = spec.gaze_heatmap_size
+        heatmap = jnp.zeros((1, h, w), jnp.float32)
+        screen = (jnp.zeros((1, spec.screen_size[1], spec.screen_size[0], 3),
+                            jnp.float32)
+                  if spec.load_screen_content else None)
+        params['refine_net'] = refine_net.init(
+            k2, heatmap, screen, screen_size=spec.screen_size)['params']
+    return params
+
+
+# ----------------------------------------------------------------------
+# Label derivation (reference eve.py:441-543)
+# ----------------------------------------------------------------------
+
+def calculate_additional_labels(spec: EveSpec, batch, rng, training):
+    """Derive labels the reference computes on the fly. Returns a new dict."""
+    labels = {}
+    mm_per_px = batch.get('millimeters_per_pixel')
+
+    for side in ('left', 'right'):
+        k = side + '_PoG_tobii'
+        if k in batch:
+            labels[side + '_PoG_cm_tobii'] = (
+                batch[k] * 0.1 * mm_per_px)
+            labels[side + '_PoG_cm_tobii_validity'] = \
+                batch[k + '_validity']
+
+    if training and spec.refine_net_do_offset_augmentation:
+        assert rng is not None
+        sample = next(iter(batch.values()))
+        B, T = sample.shape[0], sample.shape[1]
+        std = math.radians(spec.refine_net_offset_augmentation_sigma)
+        kl, kr = jax.random.split(rng)
+        for side, key in (('left', kl), ('right', kr)):
+            kappa = std * jax.random.normal(key, (B, 2), jnp.float32)
+            labels[side + '_kappa_fake'] = jnp.broadcast_to(
+                kappa[:, None, :], (B, T, 2))
+
+    if 'left_o' in batch:
+        labels['o'] = 0.5 * (batch['left_o'] + batch['right_o'])
+        labels['o_validity'] = batch['left_o_validity']
+
+    if 'left_PoG_tobii' in batch:
+        labels['PoG_px_tobii'] = 0.5 * (batch['left_PoG_tobii'] +
+                                        batch['right_PoG_tobii'])
+        labels['PoG_cm_tobii'] = 0.5 * (labels['left_PoG_cm_tobii'] +
+                                        labels['right_PoG_cm_tobii'])
+        validity = (batch['left_PoG_tobii_validity'].astype(bool) &
+                    batch['right_PoG_tobii_validity'].astype(bool))
+        labels['PoG_px_tobii_validity'] = validity
+        labels['PoG_cm_tobii_validity'] = validity
+
+        if spec.refine_net_enabled:
+            vmask = validity.astype(jnp.float32)[..., None, None]
+            for name, sigma in (
+                    ('heatmap_initial', spec.gaze_heatmap_sigma_initial),
+                    ('heatmap_history', spec.gaze_heatmap_sigma_history),
+                    ('heatmap_final', spec.gaze_heatmap_sigma_final)):
+                hm = hm_ops.make_heatmaps(
+                    labels['PoG_px_tobii'], sigma,
+                    heatmap_size=spec.gaze_heatmap_size,
+                    actual_screen_size=spec.actual_screen_size)
+                labels[name] = hm * vmask
+                labels[name + '_validity'] = validity
+
+    if 'PoG_cm_tobii' in labels:
+        labels['g'] = geo.calculate_combined_gaze_direction(
+            labels['o'], 10.0 * labels['PoG_cm_tobii'],
+            batch['left_R'], batch['camera_transformation'])
+        labels['g_validity'] = labels['PoG_cm_tobii_validity']
+
+    return labels
+
+
+# ----------------------------------------------------------------------
+# PoG / heatmap branch (reference eve.py:545-601)
+# ----------------------------------------------------------------------
+
+def g_to_pog(spec: EveSpec, full, g_left, g_right, with_heatmap=True):
+    """Project per-eye gazes to screen, average, derive combined gaze.
+
+    Args:
+      full: merged input+label dict with (B, T, ...) tensors.
+      g_left, g_right: (B, T, 2) pitch/yaw gazes.
+
+    Returns a dict with side/mean PoG px/cm, combined ``g``, and (optionally)
+    the rendered initial-sigma heatmap.
+    """
+    out = {}
+    if 'inv_camera_transformation' not in full:
+        return out  # GazeCapture / MPIIGaze case (reference eve.py:550)
+    ref = {'inv_camera_transformation': full['inv_camera_transformation'],
+           'pixels_per_millimeter': full['pixels_per_millimeter']}
+    for side, g in (('left', g_left), ('right', g_right)):
+        PoG_mm, PoG_px = geo.to_screen_coordinates(
+            full[side + '_o'], g, full[side + '_R'], ref,
+            actual_screen_size=spec.actual_screen_size)
+        out[side + '_PoG_cm'] = 0.1 * PoG_mm
+        out[side + '_PoG_px'] = PoG_px
+    out['PoG_px'] = 0.5 * (out['left_PoG_px'] + out['right_PoG_px'])
+    out['PoG_cm'] = 0.5 * (out['left_PoG_cm'] + out['right_PoG_cm'])
+    out['PoG_mm'] = 10.0 * out['PoG_cm']
+    out['g'] = geo.calculate_combined_gaze_direction(
+        full['o'], out['PoG_mm'], full['left_R'],
+        full['camera_transformation'])
+    if with_heatmap and spec.refine_net_enabled:
+        out['heatmap'] = hm_ops.make_heatmaps(
+            out['PoG_px'], spec.gaze_heatmap_sigma_initial,
+            heatmap_size=spec.gaze_heatmap_size,
+            actual_screen_size=spec.actual_screen_size)
+    return out
+
+
+# ----------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------
+
+def forward(spec: EveSpec, params, batch, rng=None, training=False,
+            output_predictions=False, create_images=False):
+    """Full EVE forward over a (B, T, ...) clip batch.
+
+    Args:
+      params: {'eye_net': ..., 'refine_net': ...} parameter pytrees.
+      batch: input dict (NHWC images); see data layer for keys.
+      rng: PRNG key, required when training with offset augmentation.
+      training: enables kappa offset augmentation and *_unaugmented branches.
+
+    Returns an output dict of losses, metrics and (optionally) predictions,
+    with key names matching the reference.
+    """
+    eye_net = spec.build_eye_net()
+    refine_net = spec.build_refine_net()
+    eye_params = {'params': params['eye_net']}
+
+    labels = calculate_additional_labels(spec, batch, rng, training)
+    full = dict(batch)
+    full.update(labels)
+
+    left = full['left_eye_patch']
+    B, T = left.shape[0], left.shape[1]
+    nf = spec.eye_net_num_features
+
+    # --- Stage 1: CNN features for all frames and both eyes, one batch ---
+    patches = jnp.concatenate([
+        full['left_eye_patch'].reshape((B * T,) + left.shape[2:]),
+        full['right_eye_patch'].reshape((B * T,) + left.shape[2:]),
+    ], axis=0)
+    if spec.eye_net_use_head_pose_input:
+        head_pose = jnp.concatenate([
+            full['left_h'].reshape(B * T, 2),
+            full['right_h'].reshape(B * T, 2),
+        ], axis=0)
+    else:
+        head_pose = None
+    feats = eye_net.apply(eye_params, patches, head_pose,
+                          method=EyeNet.features)
+    feats_l = feats[:B * T].reshape(B, T, nf)
+    feats_r = feats[B * T:].reshape(B, T, nf)
+
+    # --- Stage 2: temporal scan over the dense RNN stack only ---
+    if spec.eye_net_use_rnn:
+        def gru_step(carry, xs):
+            sl, sr = carry
+            fl, fr = xs
+            ol, nsl = eye_net.apply(eye_params, fl, sl,
+                                    method=EyeNet.recurrent)
+            onr, nsr = eye_net.apply(eye_params, fr, sr,
+                                     method=EyeNet.recurrent)
+            return (nsl, nsr), (ol, onr)
+
+        init_states = (eye_net.init_state(B), eye_net.init_state(B))
+        _, (out_l, out_r) = jax.lax.scan(
+            gru_step, init_states,
+            (jnp.moveaxis(feats_l, 1, 0), jnp.moveaxis(feats_r, 1, 0)))
+        rnn_l = jnp.moveaxis(out_l, 0, 1)
+        rnn_r = jnp.moveaxis(out_r, 0, 1)
+    else:
+        rnn_l = eye_net.apply(eye_params, feats_l, method=EyeNet.static_path)
+        rnn_r = eye_net.apply(eye_params, feats_r, method=EyeNet.static_path)
+
+    # --- Stage 3: heads, augmentation, projection, heatmaps (batched) ---
+    g_l, pupil_l = eye_net.apply(eye_params, rnn_l, method=EyeNet.heads)
+    g_r, pupil_r = eye_net.apply(eye_params, rnn_r, method=EyeNet.heads)
+    if spec.eye_net_frozen:
+        g_l = jax.lax.stop_gradient(g_l)
+        g_r = jax.lax.stop_gradient(g_r)
+
+    interm = {
+        'left_g_initial': g_l, 'right_g_initial': g_r,
+        'left_pupil_size': pupil_l, 'right_pupil_size': pupil_r,
+    }
+
+    do_aug = training and spec.refine_net_do_offset_augmentation
+    if do_aug:
+        un = g_to_pog(spec, full, g_l, g_r)
+        for k, v in un.items():
+            interm[_suffixed(k, 'initial_unaugmented')] = v
+        interm['left_g_initial_unaugmented'] = g_l
+        interm['right_g_initial_unaugmented'] = g_r
+        g_l = geo.apply_offset_augmentation(
+            g_l, full['head_R'], full['left_kappa_fake'])
+        g_r = geo.apply_offset_augmentation(
+            g_r, full['head_R'], full['right_kappa_fake'])
+        interm['left_g_initial'] = g_l
+        interm['right_g_initial'] = g_r
+
+    main = g_to_pog(spec, full, g_l, g_r)
+    for k, v in main.items():
+        interm[_suffixed(k, 'initial')] = v
+
+    # Gaze history maps are visualization-only outputs (the reference stores
+    # them per step but RefineNet never consumes them) — render on demand.
+    if create_images and spec.refine_net_enabled and \
+            'PoG_px_initial' in interm and 'PoG_px_tobii' in full:
+        hist_hm = hm_ops.make_heatmaps(
+            interm['PoG_px_initial'], spec.gaze_heatmap_sigma_history,
+            heatmap_size=spec.gaze_heatmap_size,
+            actual_screen_size=spec.actual_screen_size)
+        interm['history_initial'] = hm_ops.decayed_history_scan(
+            hist_hm, full['timestamps'].astype(jnp.float32),
+            full['PoG_px_tobii_validity'].astype(jnp.float32),
+            decay_per_ms=spec.gaze_history_map_decay_per_ms)
+
+    # --- Stages 4-6: RefineNet (batched encoder/decoder, scanned cell) ---
+    if refine_net is not None and 'heatmap_initial' in interm:
+        rn_params = {'params': params['refine_net']}
+        screen = full.get('screen_frame') if spec.load_screen_content else None
+        net_in = refine_net.apply(
+            rn_params, interm['heatmap_initial'], screen,
+            screen_size=spec.screen_size, method=RefineNet.assemble_input)
+        flat_in = net_in.reshape((B * T,) + net_in.shape[2:])
+        bottleneck_in, skips = refine_net.apply(
+            rn_params, flat_in, method=RefineNet.encode)
+        bt_shape = bottleneck_in.shape[1:]
+        bottleneck_bt = bottleneck_in.reshape((B, T) + bt_shape)
+
+        if spec.refine_net_use_rnn:
+            def cell_step(carry, x):
+                out, new_carry = refine_net.apply(
+                    rn_params, x, carry, method=RefineNet.bottleneck_step)
+                return new_carry, out
+
+            init = refine_net.init_state(B)
+            _, scanned = jax.lax.scan(
+                cell_step, init, jnp.moveaxis(bottleneck_bt, 1, 0))
+            bottleneck_out = jnp.moveaxis(scanned, 0, 1).reshape(
+                (B * T,) + bt_shape)
+        else:
+            bottleneck_out = bottleneck_in
+
+        heatmap_final = refine_net.apply(
+            rn_params, bottleneck_out, skips, method=RefineNet.decode)
+        w, h = spec.gaze_heatmap_size
+        interm['heatmap_final'] = heatmap_final.reshape(B, T, h, w)
+
+        interm['PoG_px_final'] = hm_ops.soft_argmax(
+            interm['heatmap_final'],
+            heatmap_size=spec.gaze_heatmap_size,
+            actual_screen_size=spec.actual_screen_size)
+        cm_per_px = 0.1 * full['millimeters_per_pixel']
+        interm['PoG_cm_final'] = interm['PoG_px_final'] * cm_per_px
+        interm['g_final'] = geo.calculate_combined_gaze_direction(
+            full['o'], 10.0 * interm['PoG_cm_final'],
+            full['left_R'], full['camera_transformation'])
+
+        if create_images and 'PoG_px_tobii' in full:
+            hist_hm_f = hm_ops.make_heatmaps(
+                interm['PoG_px_final'], spec.gaze_heatmap_sigma_history,
+                heatmap_size=spec.gaze_heatmap_size,
+                actual_screen_size=spec.actual_screen_size)
+            interm['history_final'] = hm_ops.decayed_history_scan(
+                hist_hm_f, full['timestamps'].astype(jnp.float32),
+                full['PoG_px_tobii_validity'].astype(jnp.float32),
+                decay_per_ms=spec.gaze_history_map_decay_per_ms)
+
+    # --- Outputs ---
+    output = {}
+    output['left_pupil_size'] = interm['left_pupil_size']
+    output['right_pupil_size'] = interm['right_pupil_size']
+
+    if output_predictions:
+        for k in ('timestamps', 'o', 'left_R', 'head_R',
+                  'millimeters_per_pixel', 'pixels_per_millimeter',
+                  'camera_transformation', 'inv_camera_transformation'):
+            if k in full:
+                output[k] = full[k]
+        for k in ('g_initial', 'PoG_px_initial', 'PoG_cm_initial'):
+            if k in interm:
+                output[k] = interm[k]
+        if 'g' in full:
+            output['g'] = full['g']
+            output['validity'] = full['PoG_px_tobii_validity']
+            output['PoG_cm'] = full['PoG_cm_tobii']
+            output['PoG_px'] = full['PoG_px_tobii']
+        if refine_net is not None:
+            for k in ('g_final', 'PoG_px_final', 'PoG_cm_final'):
+                if k in interm:
+                    output[k] = interm[k]
+
+    if create_images:
+        if spec.load_screen_content and 'screen_frame' in full:
+            output['screen_frame'] = full['screen_frame'][:, -1]
+        if 'history_initial' in interm:
+            output['initial_gaze_history'] = interm['history_initial'][:, -1]
+        if 'heatmap_initial' in interm:
+            output['initial_heatmap'] = interm['heatmap_initial'][:, -1]
+        if 'heatmap_final' in interm:
+            output['final_heatmap'] = interm['heatmap_final'][:, -1]
+        if 'history_final' in interm:
+            output['refined_gaze_history'] = interm['history_final'][:, -1]
+        if 'heatmap_final' in full:
+            output['gt_heatmap'] = full['heatmap_final'][:, -1]
+        if 'left_g_tobii' in full:
+            output['left_g_gt'] = full['left_g_tobii']
+            output['PoG_px_gt'] = full.get('PoG_px_tobii')
+            output['PoG_px_gt_validity'] = full.get('PoG_px_tobii_validity')
+        output['left_g_initial'] = interm['left_g_initial']
+        if 'PoG_px_initial' in interm:
+            output['PoG_px_initial'] = interm['PoG_px_initial']
+        if 'g_final' in interm:
+            output['g_final'] = interm['g_final']
+            output['PoG_px_final'] = interm['PoG_px_final']
+
+    calculate_losses_and_metrics(spec, full, interm, output, training)
+
+    # --- Weighted total (reference eve.py:233-265) ---
+    full_loss = jnp.zeros((), jnp.float32)
+    if 'loss_ang_left_g_initial' in output:
+        full_loss += spec.loss_coeff_g_ang_initial * (
+            output['loss_ang_left_g_initial'] +
+            output['loss_ang_right_g_initial'])
+    if 'loss_mse_left_PoG_cm_initial' in output and \
+            spec.loss_coeff_PoG_cm_initial > 0.0:
+        full_loss += spec.loss_coeff_PoG_cm_initial * (
+            output['loss_mse_left_PoG_cm_initial'] +
+            output['loss_mse_right_PoG_cm_initial'])
+    if 'loss_l1_left_pupil_size' in output:
+        full_loss += spec.loss_coeff_pupil_size * (
+            output['loss_l1_left_pupil_size'] +
+            output['loss_l1_right_pupil_size'])
+    if 'loss_mse_PoG_cm_final' in output:
+        full_loss += spec.loss_coeff_PoG_cm_final * \
+            output['loss_mse_PoG_cm_final']
+    if 'loss_ce_heatmap_initial' in output:
+        full_loss += spec.loss_coeff_heatmap_ce_initial * \
+            output['loss_ce_heatmap_initial']
+    if 'loss_ce_heatmap_final' in output:
+        full_loss += spec.loss_coeff_heatmap_ce_final * \
+            output['loss_ce_heatmap_final']
+    if 'loss_mse_heatmap_final' in output:
+        full_loss += spec.loss_coeff_heatmap_mse_final * \
+            output['loss_mse_heatmap_final']
+    output['full_loss'] = full_loss
+    return output
+
+
+def _suffixed(key, suffix):
+    """'left_PoG_cm' + 'initial' -> 'left_PoG_cm_initial'; 'g' -> 'g_initial'."""
+    return key + '_' + suffix
+
+
+# ----------------------------------------------------------------------
+# Losses and metrics (reference eve.py:286-439)
+# ----------------------------------------------------------------------
+
+def calculate_losses_and_metrics(spec, full, interm, output, training):
+    do_aug = training and spec.refine_net_do_offset_augmentation
+
+    def have(d, k):
+        return k in d
+
+    for side in ('left', 'right'):
+        gt = side + '_g_tobii'
+        pred_key = (side + '_g_initial_unaugmented' if do_aug
+                    else side + '_g_initial')
+        if have(interm, pred_key) and have(full, gt):
+            output['loss_ang_' + side + '_g_initial'] = losses_lib.angular_loss(
+                interm[pred_key], full[gt], full[gt + '_validity'])
+
+        gt = side + '_PoG_cm_tobii'
+        pred_key = (side + '_PoG_cm_initial_unaugmented' if do_aug
+                    else side + '_PoG_cm_initial')
+        if have(interm, pred_key) and have(full, gt):
+            output['loss_mse_' + side + '_PoG_cm_initial'] = \
+                losses_lib.mse_loss(interm[pred_key], full[gt],
+                                    full[gt + '_validity'])
+            output['metric_euc_' + side + '_PoG_cm_initial'] = \
+                losses_lib.euclidean_loss(interm[pred_key], full[gt],
+                                          full[gt + '_validity'])
+
+        gt = side + '_PoG_tobii'
+        pred_key = side + '_PoG_px_initial'
+        if have(interm, pred_key) and have(full, gt):
+            output['metric_euc_' + pred_key] = losses_lib.euclidean_loss(
+                interm[pred_key], full[gt], full[gt + '_validity'])
+
+        gt = side + '_p'
+        pred_key = side + '_pupil_size'
+        if have(interm, pred_key) and have(full, gt):
+            output['loss_l1_' + pred_key] = losses_lib.l1_loss(
+                interm[pred_key], full[gt], full[gt + '_validity'])
+
+    # Left/right consistency
+    if have(full, 'left_PoG_tobii') and have(full, 'right_PoG_tobii') and \
+            have(interm, 'left_PoG_cm_initial'):
+        lr_validity = (full['left_PoG_tobii_validity'].astype(bool) &
+                       full['right_PoG_tobii_validity'].astype(bool))
+        output['loss_mse_lr_consistency'] = losses_lib.mse_loss(
+            interm['left_PoG_cm_initial'], interm['right_PoG_cm_initial'],
+            lr_validity)
+        output['metric_euc_lr_consistency'] = losses_lib.euclidean_loss(
+            interm['left_PoG_cm_initial'], interm['right_PoG_cm_initial'],
+            lr_validity)
+
+    # Heatmap losses
+    pred_key = ('heatmap_initial_unaugmented' if do_aug else 'heatmap_initial')
+    if have(interm, pred_key) and have(full, 'heatmap_initial'):
+        output['loss_ce_heatmap_initial'] = losses_lib.cross_entropy_loss(
+            interm[pred_key], full['heatmap_initial'],
+            full['heatmap_initial_validity'])
+
+    if have(interm, 'heatmap_final') and have(full, 'heatmap_final'):
+        output['loss_ce_heatmap_final'] = losses_lib.cross_entropy_loss(
+            interm['heatmap_final'], full['heatmap_final'],
+            full['heatmap_final_validity'])
+        output['loss_mse_heatmap_final'] = losses_lib.mse_loss(
+            interm['heatmap_final'], full['heatmap_final'],
+            full['heatmap_final_validity'])
+
+    # Metrics on the unaugmented branch
+    if do_aug:
+        for pred_key, gt, fn, name in (
+                ('PoG_px_initial_unaugmented', 'PoG_px_tobii',
+                 losses_lib.euclidean_loss, 'metric_euc_'),
+                ('PoG_cm_initial_unaugmented', 'PoG_cm_tobii',
+                 losses_lib.euclidean_loss, 'metric_euc_'),
+                ('g_initial_unaugmented', 'g',
+                 losses_lib.angular_loss, 'metric_ang_')):
+            if have(interm, pred_key) and have(full, gt):
+                output[name + pred_key] = fn(
+                    interm[pred_key], full[gt], full[gt + '_validity'])
+
+    # Initial and final combined estimates
+    for pred_key, gt in (('PoG_px_initial', 'PoG_px_tobii'),
+                         ('PoG_cm_initial', 'PoG_cm_tobii'),
+                         ('PoG_px_final', 'PoG_px_tobii'),
+                         ('PoG_cm_final', 'PoG_cm_tobii')):
+        if have(interm, pred_key) and have(full, gt):
+            output['loss_mse_' + pred_key] = losses_lib.mse_loss(
+                interm[pred_key], full[gt], full[gt + '_validity'])
+            output['metric_euc_' + pred_key] = losses_lib.euclidean_loss(
+                interm[pred_key], full[gt], full[gt + '_validity'])
+
+    for pred_key in ('g_initial', 'g_final'):
+        if have(interm, pred_key) and have(full, 'g'):
+            output['metric_ang_' + pred_key] = losses_lib.angular_loss(
+                interm[pred_key], full['g'], full['g_validity'])

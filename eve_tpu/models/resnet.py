@@ -1,0 +1,66 @@
+"""ResNet-18 with instance normalization, NHWC, for the EyeNet backbone.
+
+Topology matches ``torchvision.models.resnet.ResNet(BasicBlock, [2,2,2,2],
+norm_layer=nn.InstanceNorm2d)`` as instantiated by the reference EyeNet
+(``/root/reference/src/models/eye_net.py:48-50``): 7x7/2 stem + 3x3/2 maxpool,
+four stages of two basic blocks (64/128/256/512, stride-2 stage entries with
+1x1 downsample), global average pool, final fc. InstanceNorm here is
+affine-less with no running stats (the torchvision default when passed
+``nn.InstanceNorm2d``).
+
+The whole backbone is recurrence-free, so the EVE composite runs it batched
+over (B*T*2 eyes) on the MXU rather than per-timestep.
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from eve_tpu.models.layers import (
+    Conv, InstanceNorm, TorchLinear, adaptive_max_pool)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = Conv(self.features, 3, self.strides, 1, use_bias=False,
+                   name='conv1')(x)
+        out = InstanceNorm(self.features, affine=False, name='in1')(out)
+        out = nn.relu(out)
+        out = Conv(self.features, 3, 1, 1, use_bias=False, name='conv2')(out)
+        out = InstanceNorm(self.features, affine=False, name='in2')(out)
+        if self.downsample:
+            identity = Conv(self.features, 1, self.strides, 0, use_bias=False,
+                            name='downsample_conv')(x)
+            identity = InstanceNorm(self.features, affine=False,
+                                    name='downsample_in')(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet18IN(nn.Module):
+    """ResNet-18 (instance-norm) feature extractor -> ``num_classes`` vector."""
+    num_classes: int = 128
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, H, W, 3) in [-1, 1]
+        x = x.astype(self.compute_dtype)
+        x = Conv(64, 7, 2, 3, use_bias=False, name='conv1')(x)
+        x = InstanceNorm(64, affine=False, name='in1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        plan = [(64, 1), (128, 2), (256, 2), (512, 2)]
+        for stage, (feats, stride) in enumerate(plan):
+            x = BasicBlock(feats, stride, downsample=(stride != 1),
+                           name=f'layer{stage + 1}_0')(x)
+            x = BasicBlock(feats, 1, name=f'layer{stage + 1}_1')(x)
+        x = jnp.mean(x, axis=(-3, -2))  # global average pool
+        x = x.astype(jnp.float32)
+        return TorchLinear(self.num_classes, name='fc')(x)

@@ -1,0 +1,149 @@
+"""End-to-end EVE forward tests on synthetic geometry-consistent batches."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eve_tpu.data.synthetic import make_synthetic_batch
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.models.eye_net import EyeNet
+
+
+def small_spec(**kw):
+    defaults = dict(refine_net_enabled=True, load_screen_content=True)
+    defaults.update(kw)
+    return eve_lib.EveSpec(**defaults)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    spec = small_spec()
+    rng = jax.random.PRNGKey(0)
+    params = eve_lib.init_params(spec, rng)
+    np_rng = np.random.RandomState(1)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(np_rng, batch_size=2, sequence_len=4).items()}
+    return spec, params, batch
+
+
+def test_forward_eval_outputs(setup):
+    spec, params, batch = setup
+    out = eve_lib.forward(spec, params, batch, training=False,
+                          output_predictions=True)
+    assert np.isfinite(float(out['full_loss']))
+    # Core predictions with expected shapes
+    assert out['PoG_px_initial'].shape == (2, 4, 2)
+    assert out['PoG_px_final'].shape == (2, 4, 2)
+    assert out['g_final'].shape == (2, 4, 2)
+    assert out['left_pupil_size'].shape == (2, 4)
+    # Metric/loss keys follow the reference naming
+    for key in ('loss_ang_left_g_initial', 'loss_ang_right_g_initial',
+                'loss_l1_left_pupil_size', 'metric_euc_PoG_px_initial',
+                'metric_euc_PoG_cm_final', 'metric_ang_g_initial',
+                'metric_ang_g_final', 'loss_ce_heatmap_final',
+                'loss_mse_lr_consistency'):
+        assert key in out, key
+        assert np.isfinite(float(out[key])), key
+    # PoG predictions land on the screen
+    pog = np.asarray(out['PoG_px_final'])
+    assert pog[..., 0].min() >= 0 and pog[..., 0].max() <= 1920
+    assert pog[..., 1].min() >= 0 and pog[..., 1].max() <= 1080
+
+
+def test_forward_training_offset_augmentation(setup):
+    spec, params, batch = setup
+    out = eve_lib.forward(spec, params, batch, rng=jax.random.PRNGKey(7),
+                          training=True)
+    for key in ('metric_euc_PoG_px_initial_unaugmented',
+                'metric_ang_g_initial_unaugmented',
+                'loss_ce_heatmap_final'):
+        assert key in out, key
+    assert np.isfinite(float(out['full_loss']))
+
+
+def test_forward_no_refine():
+    spec = small_spec(refine_net_enabled=False, load_screen_content=False)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(np.random.RandomState(2), 2, 3,
+                                  with_screen=False).items()}
+    out = eve_lib.forward(spec, params, batch, training=False)
+    assert 'PoG_px_final' not in out or out.get('PoG_px_final') is None
+    assert 'loss_ang_left_g_initial' in out
+    assert np.isfinite(float(out['full_loss']))
+
+
+def test_forward_static_eye_net():
+    spec = small_spec(refine_net_enabled=False, load_screen_content=False,
+                      eye_net_use_rnn=False)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(np.random.RandomState(3), 2, 3,
+                                  with_screen=False).items()}
+    out = eve_lib.forward(spec, params, batch, training=False)
+    assert np.isfinite(float(out['full_loss']))
+
+
+def test_gru_scan_matches_per_step_loop(setup):
+    """The batched-CNN + scanned-GRU split must equal a per-t loop."""
+    spec, params, batch = setup
+    eye_net = spec.build_eye_net()
+    eye_params = {'params': params['eye_net']}
+    left = batch['left_eye_patch']
+    B, T = left.shape[:2]
+    nf = spec.eye_net_num_features
+
+    # Per-timestep loop (reference-style)
+    states = eye_net.init_state(B)
+    loop_outputs = []
+    for t in range(T):
+        f = eye_net.apply(eye_params, left[:, t], batch['left_h'][:, t],
+                          method=EyeNet.features)
+        f, states = eye_net.apply(eye_params, f, states,
+                                  method=EyeNet.recurrent)
+        loop_outputs.append(f)
+    loop_out = np.stack([np.asarray(x) for x in loop_outputs], axis=1)
+
+    # Batched + scanned path
+    feats = eye_net.apply(
+        eye_params, left.reshape((B * T,) + left.shape[2:]),
+        batch['left_h'].reshape(B * T, 2), method=EyeNet.features
+    ).reshape(B, T, nf)
+
+    def step(carry, f):
+        f, ns = eye_net.apply(eye_params, f, carry, method=EyeNet.recurrent)
+        return ns, f
+
+    _, scanned = jax.lax.scan(step, eye_net.init_state(B),
+                              jnp.moveaxis(feats, 1, 0))
+    scanned = np.asarray(jnp.moveaxis(scanned, 0, 1))
+    np.testing.assert_allclose(scanned, loop_out, atol=2e-5)
+
+
+def test_forward_jit_compiles(setup):
+    spec, params, batch = setup
+    fwd = jax.jit(lambda p, b: eve_lib.forward(spec, p, b, training=False))
+    out1 = fwd(params, batch)
+    out2 = fwd(params, batch)
+    np.testing.assert_allclose(float(out1['full_loss']),
+                               float(out2['full_loss']), rtol=1e-6)
+
+
+def test_gt_gaze_projects_back_to_gt_pog(setup):
+    """Synthetic GT gazes fed through the projection recover the GT PoG."""
+    spec, params, batch = setup
+    out = eve_lib.forward(
+        spec, params,
+        dict(batch), training=False, output_predictions=True)
+    # The *labels* derived inside forward must be self-consistent: combined
+    # g (from GT PoG) re-projected through to_screen_coordinates lands on
+    # the GT PoG. Exercise via g_to_pog on GT per-eye gazes.
+    full = dict(batch)
+    full.update(eve_lib.calculate_additional_labels(spec, batch, None, False))
+    res = eve_lib.g_to_pog(spec, full, batch['left_g_tobii'],
+                           batch['right_g_tobii'])
+    np.testing.assert_allclose(np.asarray(res['PoG_px']),
+                               np.asarray(batch['left_PoG_tobii']),
+                               atol=1.5)
