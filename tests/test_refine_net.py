@@ -1,0 +1,139 @@
+"""RefineNet structure tests: block parity, pyramid shapes, converter keys."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eve_tpu.models.refine_net import PreactBlock, RefineNet
+from eve_tpu.utils.torch_convert import convert_refine_net
+
+
+def test_preact_block_matches_torch(rng):
+    torch = pytest.importorskip('torch')
+    import torch.nn as nn
+
+    class TorchPreact(nn.Module):
+        def __init__(self, ic, oc):
+            super().__init__()
+            self.layers = nn.Sequential(
+                nn.InstanceNorm2d(ic, affine=True), nn.ReLU(),
+                nn.Conv2d(ic, oc, 3, 1, 1),
+                nn.InstanceNorm2d(oc, affine=True), nn.ReLU(),
+                nn.Conv2d(oc, oc, 3, 1, 1))
+            self.skip_layer = nn.Sequential(
+                nn.InstanceNorm2d(ic, affine=True), nn.ReLU(),
+                nn.Conv2d(ic, oc, 1, 1)) if ic != oc else None
+
+        def forward(self, x):
+            skip = self.skip_layer(x) if self.skip_layer else x
+            return self.layers(x) + skip
+
+    for ic, oc in ((8, 16), (16, 16)):
+        tm = TorchPreact(ic, oc).eval()
+        sd = {('block.' + k): v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        # Reuse the converter's block mapping via a fake prefix.
+        from eve_tpu.utils.torch_convert import _convert_preact_block
+        tree = {}
+        _convert_preact_block(tree, 'b', 'block', sd)
+        x = rng.randn(2, 12, 20, ic).astype(np.float32)
+        ours = np.asarray(PreactBlock(ic, oc, 'relu').apply(
+            {'params': tree['b']}, jnp.asarray(x)))
+        with torch.no_grad():
+            expected = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        np.testing.assert_allclose(
+            ours, np.transpose(expected, (0, 2, 3, 1)), atol=1e-4)
+
+
+def _fake_refine_state_dict():
+    """Reference-shaped RefineNet state dict (CGRU, skips) with random values."""
+    torch = pytest.importorskip('torch')
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(prefix, ic, oc, k):
+        sd[prefix + '.weight'] = rng.randn(oc, ic, k, k).astype(np.float32) * 0.05
+        sd[prefix + '.bias'] = rng.randn(oc).astype(np.float32) * 0.05
+
+    def inorm(prefix, c):
+        sd[prefix + '.weight'] = np.ones(c, np.float32)
+        sd[prefix + '.bias'] = np.zeros(c, np.float32)
+
+    def block(prefix, ic, oc):
+        inorm(prefix + '.layers.0', ic)
+        conv(prefix + '.layers.2', ic, oc, 3)
+        inorm(prefix + '.layers.3', oc)
+        conv(prefix + '.layers.5', oc, oc, 3)
+        if ic != oc:
+            inorm(prefix + '.skip_layer.0', ic)
+            conv(prefix + '.skip_layer.2', ic, oc, 1)
+
+    conv('initial.0', 4, 16, 3)
+    inorm('initial.1', 16)
+    conv('initial.3', 16, 16, 3)
+    conv('final.0', 16, 16, 3)
+    conv('final.2', 16, 1, 1)
+
+    chans = [16, 32, 64, 128, 256]
+    nenc = [1, 2, 2, 2, 2]
+    for k in range(5):
+        prefix = 'network.' + 'between_module.' * k
+        in_c, out_c = chans[k], (chans[k + 1] if k < 4 else 64)
+        block(prefix + 'encoder_blocks.0', in_c, out_c)
+        for i in range(1, nenc[k]):
+            block(prefix + f'encoder_blocks.{i}', out_c, out_c)
+        inner_out = chans[k + 1] if k < 4 else 64
+        dec_in = 2 * inner_out
+        dec_out = chans[k] if k < 4 else chans[4]
+        block(prefix + 'decoder_blocks.0', dec_in, dec_out)
+    bp = 'network.' + 'between_module.' * 5
+    conv(bp + 'rnn_cells.0.gates_1', 128, 128, 3)
+    conv(bp + 'rnn_cells.0.gate_2', 128, 64, 3)
+    return sd
+
+
+def test_converter_produces_loadable_params(rng):
+    """Converted reference-layout weights drive a real forward pass."""
+    sd = _fake_refine_state_dict()
+    params = convert_refine_net(sd)
+    net = RefineNet(load_screen_content=True, rnn_type='CGRU')
+    hm = jnp.asarray(rng.uniform(0, 1, (2, 72, 128)).astype(np.float32))
+    screen = jnp.asarray(rng.uniform(0, 1, (2, 72, 128, 3)).astype(np.float32))
+    # Structure check: init params and converted params have identical trees.
+    ref_params = net.init(jax.random.PRNGKey(0), hm, screen)['params']
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
+    flat_conv = jax.tree_util.tree_leaves_with_path(params)
+    paths_ref = {jax.tree_util.keystr(p): l.shape for p, l in flat_ref}
+    paths_conv = {jax.tree_util.keystr(p): l.shape for p, l in flat_conv}
+    assert paths_ref == paths_conv
+    out = net.apply({'params': params}, hm, screen)
+    assert out['heatmap_final'].shape == (2, 72, 128)
+    v = np.asarray(out['heatmap_final'])
+    assert np.isfinite(v).all() and v.min() >= 0 and v.max() <= 1
+
+
+def test_pyramid_shapes(rng):
+    net = RefineNet(load_screen_content=False)
+    hm = jnp.asarray(rng.uniform(0, 1, (3, 72, 128)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(1), hm, None)['params']
+    x = net.apply({'params': params}, hm, None,
+                  method=RefineNet.assemble_input)
+    assert x.shape == (3, 72, 128, 1)
+    bt, skips = net.apply({'params': params}, x, method=RefineNet.encode)
+    assert bt.shape == (3, 5, 8, 64)
+    expected = [(3, 72, 128, 32), (3, 36, 64, 64), (3, 18, 32, 128),
+                (3, 9, 16, 256), (3, 5, 8, 64)]
+    assert [s.shape for s in skips] == expected
+    out = net.apply({'params': params}, bt, skips, method=RefineNet.decode)
+    assert out.shape == (3, 72, 128)
+
+
+def test_zero_init_final_gives_half_sigmoid(rng):
+    """Fresh RefineNet must output 0.5 heatmaps (zero-init final conv)."""
+    net = RefineNet(load_screen_content=False)
+    hm = jnp.asarray(rng.uniform(0, 1, (1, 72, 128)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(2), hm, None)['params']
+    out = net.apply({'params': params}, hm, None)
+    np.testing.assert_allclose(np.asarray(out['heatmap_final']), 0.5, atol=1e-6)
