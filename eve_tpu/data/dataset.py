@@ -1,0 +1,222 @@
+"""EVE dataset: HDF5 labels + video frames -> fixed-shape numpy clip dicts.
+
+Reference behavior (src/datasources/eve_sequences.py:196-335): per clip,
+read selected frames from the camera video (plus the screen video when
+``load_screen_content``), slice h5 label groups by the same indices, derive
+``head_R`` from rotation vectors, normalize frames, split the 256x128 eyes
+strip into left/right 128x128 patches, zero-pad short clips to
+``max_sequence_len`` with zero validity.
+
+Differences from the reference (documented): frames are NHWC float32 (TPU
+layout) instead of NCHW; ``timestamps`` stays int64 nanoseconds exactly as
+read — rebasing to float32 for the device happens in the collate step
+(``to_device_arrays``) because raw epoch-nanoseconds do not fit float32.
+"""
+
+import logging
+import os
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+from eve_tpu.data.segmentation import load_or_build_cache, select_sequences
+from eve_tpu.data.specs import predefined_splits
+from eve_tpu.data.video import VideoReader
+
+logger = logging.getLogger(__name__)
+
+
+def rodrigues_np(rvec):
+    """Rotation vector (3,) -> matrix (3, 3), numpy (host-side)."""
+    theta = float(np.linalg.norm(rvec))
+    if theta < 1e-12:
+        return np.eye(3, dtype=np.float32)
+    k = np.asarray(rvec, np.float64).reshape(3) / theta
+    K = np.array([[0, -k[2], k[1]],
+                  [k[2], 0, -k[0]],
+                  [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+    return R.astype(np.float32)
+
+
+def preprocess_frames(frames):
+    """uint8 (N, H, W, C) -> float32 NHWC in [-1, 1]."""
+    return frames.astype(np.float32) * (2.0 / 255.0) - 1.0
+
+
+def preprocess_screen_frames(frames):
+    """uint8 (N, H, W, C) -> float32 NHWC in [0, 1]."""
+    return frames.astype(np.float32) * (1.0 / 255.0)
+
+
+class EVESequencesBase:
+    """Map-style dataset over EVE clips; ``__getitem__`` -> dict of numpy."""
+
+    def __init__(self, dataset_path, config=None,
+                 participants_to_use=None, cameras_to_use=None,
+                 types_of_stimuli=None, stimulus_name_includes='',
+                 live_validation=False, is_final_test=False,
+                 cache_dir='./segmentation_cache'):
+        if config is None:
+            from eve_tpu.config import DefaultConfig
+            config = DefaultConfig()
+        self.config = config
+        if types_of_stimuli is None:
+            types_of_stimuli = ['image', 'video', 'wikipedia']
+        if cameras_to_use is None:
+            cameras_to_use = ['basler', 'webcam_l', 'webcam_c', 'webcam_r']
+        assert 'points' not in types_of_stimuli
+        assert participants_to_use is not None and len(participants_to_use) > 0
+        assert 30 > config.assumed_frame_rate
+        assert 30 % config.assumed_frame_rate == 0
+
+        self.path = dataset_path
+        self.types_of_stimuli = types_of_stimuli
+        self.stimulus_name_includes = stimulus_name_includes
+        self.participants_to_use = participants_to_use
+        self.cameras_to_use = cameras_to_use
+        self.live_validation = live_validation
+        self.is_final_test = is_final_test
+        self.validation_data_cache = {}
+        self.full_video_cache = {}
+
+        segmentations = load_or_build_cache(
+            dataset_path, config.assumed_frame_rate, config.max_sequence_len,
+            cache_dir)
+        self.all_subfolders = select_sequences(
+            segmentations, dataset_path, participants_to_use, cameras_to_use,
+            types_of_stimuli, stimulus_name_includes)
+        logger.info('Initialized dataset class for: %s (%d clips)',
+                    self.path, len(self.all_subfolders))
+
+    def __len__(self):
+        return len(self.all_subfolders)
+
+    def _camera_video_path(self, path, source):
+        cfg = self.config
+        base = os.path.join(path, source)
+        if source == 'screen':
+            return base + '.128x72.mp4', tuple(cfg.screen_size)
+        if cfg.camera_frame_type == 'full':
+            return base + '.mp4', None
+        if cfg.camera_frame_type == 'face':
+            return base + '_face.mp4', (cfg.face_size[0], cfg.face_size[1])
+        if cfg.camera_frame_type == 'eyes':
+            return base + '_eyes.mp4', (2 * cfg.eyes_size[0],
+                                        cfg.eyes_size[1])
+        raise ValueError('Unknown camera frame type: %s'
+                         % cfg.camera_frame_type)
+
+    def load_all_from_source(self, path, source, selected_indices):
+        cfg = self.config
+        subentry = {}
+
+        if source != 'screen':
+            assert h5py is not None
+            with h5py.File(os.path.join(path, source + '.h5'), 'r') as hdf:
+                for k1, v1 in hdf.items():
+                    if isinstance(v1, h5py.Group):
+                        subentry[k1] = np.copy(v1['data'][selected_indices])
+                        subentry[k1 + '_validity'] = np.copy(
+                            v1['validity'][selected_indices])
+                    else:
+                        shape = v1.shape
+                        subentry[k1] = np.repeat(
+                            np.reshape(np.asarray(v1), (1, *shape)),
+                            repeats=cfg.max_sequence_len, axis=0)
+            if 'head_rvec' in subentry:
+                subentry['head_R'] = np.stack([
+                    rodrigues_np(rvec) for rvec in subentry['head_rvec']])
+
+        if cfg.load_full_frame_for_visualization and source == 'screen':
+            _, full_frames = VideoReader(
+                os.path.join(path, source + '.mp4'),
+                frame_indices=selected_indices).get_frames()
+            subentry['full_frame'] = full_frames
+
+        video_path, output_size = self._camera_video_path(path, source)
+
+        if self.is_final_test:
+            # Whole-video cache: decode each video once for the full test.
+            key = (path, source)
+            if key not in self.full_video_cache:
+                self.full_video_cache = {key: VideoReader(
+                    video_path, output_size=output_size).get_frames()}
+            timestamps, frames = self.full_video_cache[key]
+            timestamps = timestamps[selected_indices]
+            frames = frames[selected_indices]
+        else:
+            timestamps, frames = VideoReader(
+                video_path, frame_indices=selected_indices,
+                output_size=output_size).get_frames()
+
+        subentry['timestamps'] = np.asarray(timestamps, np.int64)
+        if source == 'screen':
+            subentry['frame'] = preprocess_screen_frames(frames)
+        else:
+            frames = preprocess_frames(frames)
+            ew = cfg.eyes_size[0]
+            # NHWC: split along width
+            subentry['left_eye_patch'] = frames[:, :, ew:, :]
+            subentry['right_eye_patch'] = frames[:, :, :ew, :]
+
+        # Zero-pad short clips (zero validity for padded frames).
+        for key, value in subentry.items():
+            if value.shape[0] < cfg.max_sequence_len:
+                pad_len = cfg.max_sequence_len - value.shape[0]
+                pad_width = [(0, pad_len)] + [(0, 0)] * (value.ndim - 1)
+                subentry[key] = np.pad(
+                    value, pad_width, mode='constant',
+                    constant_values=(False if value.dtype == np.bool_
+                                     else 0))
+        return subentry
+
+    def __getitem__(self, idx):
+        spec = self.all_subfolders[idx]
+        path = spec['full_path']
+        source = spec['camera_name']
+
+        if self.live_validation:
+            cache_key = '%s/%s' % (path, source)
+            if cache_key in self.validation_data_cache:
+                return self.validation_data_cache[cache_key]
+
+        entry = self.load_all_from_source(path, source, spec['indices'])
+        if self.config.load_screen_content:
+            sub = self.load_all_from_source(path, 'screen',
+                                            spec['screen_indices'])
+            for k, v in sub.items():
+                entry['screen_%s' % k] = v
+
+        entry['participant'] = spec['participant']
+        entry['subfolder'] = spec['subfolder']
+        entry['camera'] = spec['camera_name']
+
+        if self.live_validation:
+            self.validation_data_cache[cache_key] = entry
+        return entry
+
+
+class EVESequences_train(EVESequencesBase):
+    def __init__(self, dataset_path, **kwargs):
+        super().__init__(dataset_path,
+                         participants_to_use=predefined_splits['train'],
+                         **kwargs)
+
+
+class EVESequences_val(EVESequencesBase):
+    def __init__(self, dataset_path, **kwargs):
+        super().__init__(dataset_path,
+                         participants_to_use=predefined_splits['val'],
+                         **kwargs)
+
+
+class EVESequences_test(EVESequencesBase):
+    def __init__(self, dataset_path, **kwargs):
+        super().__init__(dataset_path,
+                         participants_to_use=predefined_splits['test'],
+                         **kwargs)

@@ -1,0 +1,167 @@
+"""Batching, worker-parallel loading, and host->device collation.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` worker processes
+(src/core/training.py:126-132) with a thread pool (cv2/h5py release the GIL
+during decode/IO) and a bounded ordered prefetch queue, plus device
+double-buffering via ``jax.device_put`` so decode overlaps step compute.
+"""
+
+import threading
+import queue as queue_lib
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+STRING_KEYS = ('participant', 'subfolder', 'camera')
+TIMESTAMP_KEYS = ('timestamps', 'screen_timestamps')
+
+
+def rebase_timestamps(ts):
+    """Per-clip rebase of int64 nanosecond stamps to float32-safe values.
+
+    Real frames become (ts - first_real + 1); padded frames stay 0. Only
+    timestamp *differences* feed the model (history decay), so rebasing is
+    semantics-preserving while keeping float32 precision (raw epoch
+    nanoseconds would lose ~100s of ms of precision in float32).
+    """
+    ts = np.asarray(ts)
+    out = np.zeros(ts.shape, np.float32)
+    for b in range(ts.shape[0]):
+        row = ts[b]
+        real = row > 0
+        if real.any():
+            first = row[real].min()
+            out[b][real] = (row[real] - first + 1).astype(np.float32)
+    return out
+
+
+def collate(items):
+    """List of per-clip dicts -> single batch dict (numpy stacked)."""
+    batch = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if key in STRING_KEYS:
+            batch[key] = vals
+        else:
+            batch[key] = np.stack(vals)
+    return batch
+
+
+def to_device_arrays(batch, device_put=None, exclude=('screen_full_frame',)):
+    """Split a collated batch into (device_batch, host_extras).
+
+    Timestamp keys are rebased to float32; string keys and excluded keys
+    (e.g. full frames for visualization) stay host-side.
+    """
+    import jax
+
+    device_batch = {}
+    host_extras = {}
+    for key, value in batch.items():
+        if key in STRING_KEYS or key in exclude or \
+                not isinstance(value, np.ndarray):
+            host_extras[key] = value
+            continue
+        if key in TIMESTAMP_KEYS:
+            host_extras[key + '_ns'] = value
+            value = rebase_timestamps(value)
+        elif value.dtype == np.float64:
+            value = value.astype(np.float32)
+        elif value.dtype == np.int64:
+            value = value.astype(np.int32)
+        device_batch[key] = value
+    if device_put is not None:
+        device_batch = device_put(device_batch)
+    else:
+        device_batch = jax.device_put(device_batch)
+    return device_batch, host_extras
+
+
+class DataLoader:
+    """Ordered, thread-parallel batch loader with bounded prefetch."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=4, seed=0, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(0, num_workers)
+        self.prefetch = max(1, prefetch)
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = []
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                continue
+            batches.append(chunk)
+        return batches
+
+    def __iter__(self):
+        batches = self._index_batches()
+        if self.num_workers == 0:
+            for chunk in batches:
+                yield collate([self.dataset[int(i)] for i in chunk])
+            return
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = []
+            max_window = self.prefetch * max(1, self.num_workers)
+
+            def submit_batch(chunk):
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in chunk]
+
+            it = iter(batches)
+            try:
+                for _ in range(self.prefetch):
+                    window.append(submit_batch(next(it)))
+            except StopIteration:
+                it = iter(())
+            while window:
+                futures = window.pop(0)
+                try:
+                    window.append(submit_batch(next(it)))
+                except StopIteration:
+                    pass
+                yield collate([f.result() for f in futures])
+
+
+class DevicePrefetcher:
+    """Wrap a DataLoader iterator with async host->device transfer."""
+
+    def __init__(self, loader, device_put=None, depth=2):
+        self.loader = loader
+        self.device_put = device_put
+        self.depth = depth
+
+    def __iter__(self):
+        q = queue_lib.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    q.put(to_device_arrays(batch, self.device_put))
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

@@ -1,0 +1,171 @@
+"""Frame-exact video decode on the host.
+
+The reference decodes via an ffmpeg subprocess pipe with
+``select='eq(n,i)+...'`` frame picking and ``scale=w:h`` resizing
+(src/datasources/common.py:50-172). This module preserves those semantics
+with two backends:
+
+* ``ffmpeg``: a raw-RGB24 subprocess pipe (used when the binary exists) —
+  identical filter graph to the reference.
+* ``cv2``: OpenCV ``VideoCapture`` sequential decode with exact frame-index
+  picking (used when no ffmpeg binary is available, as in CI). Resize uses
+  bilinear interpolation (ffmpeg's default scaler is bicubic — a documented,
+  sub-LSB-level train-time difference).
+
+Timestamps come from the sibling ``*.timestamps.txt`` files with the same
+suffix-mapping rules as the reference.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+_FFMPEG = shutil.which('ffmpeg')
+_FFPROBE = shutil.which('ffprobe')
+
+
+def timestamps_path_for(video_path):
+    for suffix, repl in (('_eyes.mp4', '.timestamps.txt'),
+                         ('_face.mp4', '.timestamps.txt'),
+                         ('.128x72.mp4', '.timestamps.txt'),
+                         ('.mp4', '.timestamps.txt')):
+        if video_path.endswith(suffix):
+            return video_path[:-len(suffix)] + repl
+    raise ValueError('Unrecognized video path: %s' % video_path)
+
+
+class VideoReader:
+    """Synchronous frame-exact reader; see module docstring."""
+
+    def __init__(self, video_path, frame_indices=None, output_size=None,
+                 backend=None):
+        self.video_path = video_path
+        self.frame_indices = (None if frame_indices is None
+                              else list(frame_indices))
+        self.output_size = output_size  # (width, height)
+        if backend is None:
+            backend = 'ffmpeg' if _FFMPEG else 'cv2'
+        self.backend = backend
+        self.timestamps_path = timestamps_path_for(video_path)
+        assert os.path.isfile(self.video_path), self.video_path
+        assert os.path.isfile(self.timestamps_path), self.timestamps_path
+
+    def _load_timestamps(self):
+        ts = np.loadtxt(self.timestamps_path).astype(np.int64)
+        if ts.ndim == 0:
+            ts = ts[None]
+        return ts
+
+    def get_frames(self):
+        """Returns (timestamps int64 (N,), frames uint8 (N, H, W, 3) RGB)."""
+        timestamps = self._load_timestamps()
+        if self.frame_indices is not None:
+            timestamps = timestamps[self.frame_indices]
+        if self.backend == 'ffmpeg':
+            frames = self._decode_ffmpeg()
+        else:
+            frames = self._decode_cv2()
+        return timestamps, frames
+
+    # -- cv2 backend --------------------------------------------------
+
+    def _decode_cv2(self):
+        assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
+        cap = cv2.VideoCapture(self.video_path)
+        assert cap.isOpened(), self.video_path
+        wanted = (None if self.frame_indices is None
+                  else set(self.frame_indices))
+        last_wanted = max(self.frame_indices) if wanted else None
+        frames_by_index = {}
+        sequential = []
+        index = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if wanted is None or index in wanted:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if self.output_size is not None:
+                    frame = cv2.resize(frame, tuple(self.output_size),
+                                       interpolation=cv2.INTER_LINEAR)
+                if wanted is None:
+                    sequential.append(frame)
+                else:
+                    frames_by_index[index] = frame
+            index += 1
+            if last_wanted is not None and index > last_wanted:
+                break
+        cap.release()
+        if wanted is None:
+            return np.stack(sequential) if sequential else \
+                np.zeros((0, 0, 0, 3), np.uint8)
+        # Frame order follows the requested index list (duplicates allowed).
+        return np.stack([frames_by_index[i] for i in self.frame_indices
+                         if i in frames_by_index])
+
+    # -- ffmpeg backend ------------------------------------------------
+
+    def _probe_size(self):
+        if _FFPROBE:
+            out = subprocess.check_output([
+                _FFPROBE, '-v', 'quiet', '-select_streams', 'v:0',
+                '-show_entries', 'stream=width,height', '-of', 'csv=p=0',
+                self.video_path]).decode().strip().split(',')
+            return int(out[0]), int(out[1])
+        cap = cv2.VideoCapture(self.video_path)
+        size = (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+        cap.release()
+        return size
+
+    def _decode_ffmpeg(self):
+        width, height = self._probe_size()
+        vf = []
+        if self.frame_indices is not None:
+            sel = '+'.join('eq(n,%d)' % i for i in self.frame_indices)
+            vf.append("select='%s'" % sel)
+        if self.output_size is not None:
+            width, height = self.output_size
+            vf.append('scale=%d:%d' % (width, height))
+        cmd = [_FFMPEG, '-vsync', '0', '-i', self.video_path]
+        if vf:
+            cmd += ['-vf', ','.join(vf)]
+        cmd += ['-f', 'rawvideo', '-pix_fmt', 'rgb24',
+                '-loglevel', 'quiet', 'pipe:']
+        raw = subprocess.run(cmd, stdout=subprocess.PIPE,
+                             check=True).stdout
+        return np.frombuffer(raw, np.uint8).reshape(-1, height, width, 3)
+
+
+class AsyncVideoReader:
+    """Streaming decode iterator yielding (timestamp, frame) pairs."""
+
+    def __init__(self, video_path, output_size=None):
+        self.reader = VideoReader(video_path, output_size=output_size,
+                                  backend='cv2')
+        self.output_size = output_size
+
+    def __iter__(self):
+        timestamps = self.reader._load_timestamps()
+        cap = cv2.VideoCapture(self.reader.video_path)
+        index = 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok or index >= len(timestamps):
+                    return
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if self.output_size is not None:
+                    frame = cv2.resize(frame, tuple(self.output_size),
+                                       interpolation=cv2.INTER_LINEAR)
+                yield timestamps[index], frame
+                index += 1
+        finally:
+            cap.release()
