@@ -111,3 +111,146 @@ def make_synthetic_batch(rng, batch_size=2, sequence_len=4, eyes_size=64,
             batch[side + '_p_validity'] = ones.copy()
 
     return batch
+
+
+# ----------------------------------------------------------------------
+# On-disk synthetic dataset (EVE directory layout)
+# ----------------------------------------------------------------------
+
+def _write_video(path, frames_uint8, fps):
+    """Write uint8 RGB frames to an mp4 via OpenCV."""
+    import cv2
+    h, w = frames_uint8.shape[1:3]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'),
+                             fps, (w, h))
+    assert writer.isOpened(), path
+    for frame in frames_uint8:
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+
+def write_synthetic_dataset(root, participants=('train01',),
+                            stimuli=('step008_image_test',),
+                            cameras=('webcam_c',), num_frames=40,
+                            eyes_size=128, seed=0):
+    """Write an EVE-layout dataset tree with analytic geometry labels.
+
+    Per participant/stimulus: camera ``<cam>_eyes.mp4`` (2*eyes x eyes strip,
+    30 fps), ``<cam>.h5`` labels, ``<cam>.timestamps.txt``; plus
+    ``screen.128x72.mp4`` + ``screen.timestamps.txt``. Frame pixel values
+    encode the frame index (value = 5 + 6*index) so frame-exact decode is
+    verifiable through the lossy codec.
+    """
+    import h5py
+    import os
+    rng = np.random.RandomState(seed)
+    fps = 30
+    base_ns = int(1.6e18)
+    step_ns = int(1e9 / fps)
+
+    mm_w, mm_h = 530.0, 300.0
+    ppm = np.array([1920.0 / mm_w, 1080.0 / mm_h], np.float32)
+
+    for participant in participants:
+        for stimulus in stimuli:
+            d = os.path.join(root, participant, stimulus)
+            os.makedirs(d, exist_ok=True)
+            N = num_frames
+            timestamps = base_ns + np.arange(N, dtype=np.int64) * step_ns \
+                + rng.randint(0, 1000, N)
+            timestamps.sort()
+
+            # Screen video (30 fps, same length)
+            screen_frames = np.zeros((N, 72, 128, 3), np.uint8)
+            for i in range(N):
+                screen_frames[i] = min(5 + 6 * i, 250)
+            _write_video(os.path.join(d, 'screen.128x72.mp4'),
+                         screen_frames, fps)
+            np.savetxt(os.path.join(d, 'screen.timestamps.txt'),
+                       timestamps, fmt='%d')
+
+            for cam in cameras:
+                cam_fps = 60 if cam == 'basler' else 30
+                Nc = N * cam_fps // fps
+                cam_ts = base_ns + np.arange(Nc, dtype=np.int64) * \
+                    int(1e9 / cam_fps)
+                eyes_frames = np.zeros(
+                    (Nc, eyes_size, 2 * eyes_size, 3), np.uint8)
+                for i in range(Nc):
+                    eyes_frames[i] = min(5 + 6 * i, 250)
+                _write_video(os.path.join(d, '%s_eyes.mp4' % cam),
+                             eyes_frames, cam_fps)
+                np.savetxt(os.path.join(d, '%s.timestamps.txt' % cam),
+                           cam_ts, fmt='%d')
+
+                # Geometry labels: camera rig + gaze toward sampled PoG
+                cam_T = np.eye(4, dtype=np.float32)
+                cam_T[:3, :3] = _rotation_np(rng.uniform(-0.1, 0.1, 2))
+                cam_T[:3, 3] = [rng.uniform(-30, 30), rng.uniform(-15, 15),
+                                rng.uniform(-5, 5)]
+                inv_cam_T = np.linalg.inv(cam_T).astype(np.float32)
+
+                o_mid = np.stack([
+                    rng.uniform(-30, 30, Nc), rng.uniform(-20, 20, Nc),
+                    rng.uniform(550, 650, Nc)], -1).astype(np.float32)
+                left_o = o_mid + np.array([31.0, 0, 0], np.float32)
+                right_o = o_mid - np.array([31.0, 0, 0], np.float32)
+                head_pitchyaw = rng.uniform(-0.2, 0.2, 2)
+                head_R = np.tile(_rotation_np(head_pitchyaw), (Nc, 1, 1))
+                head_rvec = np.tile(
+                    _rvec_from_R(_rotation_np(head_pitchyaw)), (Nc, 1))
+
+                PoG_px = np.stack([rng.uniform(200, 1700, Nc),
+                                   rng.uniform(150, 950, Nc)],
+                                  -1).astype(np.float32)
+                PoG_mm = PoG_px / ppm
+                cam_T_b = np.tile(cam_T, (Nc, 1, 1))
+                g_left = np.asarray(geo.calculate_combined_gaze_direction(
+                    jnp.asarray(left_o), jnp.asarray(PoG_mm),
+                    jnp.asarray(head_R), jnp.asarray(cam_T_b)))
+                g_right = np.asarray(geo.calculate_combined_gaze_direction(
+                    jnp.asarray(right_o), jnp.asarray(PoG_mm),
+                    jnp.asarray(head_R), jnp.asarray(cam_T_b)))
+
+                ones = np.ones(Nc, np.uint8)
+                with h5py.File(os.path.join(d, '%s.h5' % cam), 'w') as f:
+                    def grp(name, data, validity=None):
+                        g = f.create_group(name)
+                        g.create_dataset('data', data=data)
+                        g.create_dataset(
+                            'validity',
+                            data=ones if validity is None else validity)
+
+                    grp('left_o', left_o)
+                    grp('right_o', right_o)
+                    grp('left_R', head_R)
+                    grp('right_R', head_R)
+                    grp('head_rvec', head_rvec.astype(np.float32))
+                    grp('left_h', rng.uniform(
+                        -0.3, 0.3, (Nc, 2)).astype(np.float32))
+                    grp('right_h', rng.uniform(
+                        -0.3, 0.3, (Nc, 2)).astype(np.float32))
+                    grp('left_p', rng.uniform(2, 5, Nc).astype(np.float32))
+                    grp('right_p', rng.uniform(2, 5, Nc).astype(np.float32))
+                    grp('left_g_tobii', g_left.astype(np.float32))
+                    grp('right_g_tobii', g_right.astype(np.float32))
+                    grp('left_PoG_tobii', PoG_px)
+                    grp('right_PoG_tobii', PoG_px.copy())
+                    f.create_dataset('camera_transformation', data=cam_T)
+                    f.create_dataset('inv_camera_transformation',
+                                     data=inv_cam_T)
+                    f.create_dataset('millimeters_per_pixel',
+                                     data=(1.0 / ppm).astype(np.float32))
+                    f.create_dataset('pixels_per_millimeter', data=ppm)
+    return root
+
+
+def _rvec_from_R(R):
+    """Rotation matrix -> rotation vector (inverse Rodrigues), numpy."""
+    cos_theta = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos_theta)
+    if theta < 1e-8:
+        return np.zeros(3, np.float32)
+    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                     R[1, 0] - R[0, 1]]) / (2.0 * np.sin(theta))
+    return (theta * axis).astype(np.float32)

@@ -1,0 +1,158 @@
+"""Data-layer tests over the on-disk synthetic EVE-layout dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from eve_tpu.config import DefaultConfig
+from eve_tpu.data import loader as loader_lib
+from eve_tpu.data import segmentation as seg_lib
+from eve_tpu.data.dataset import EVESequencesBase, rodrigues_np
+from eve_tpu.data.synthetic import write_synthetic_dataset
+from eve_tpu.data.video import VideoReader
+
+
+@pytest.fixture(scope='module')
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('eve_synth')
+    write_synthetic_dataset(str(root), participants=('train01', 'train02'),
+                            num_frames=40)
+    return str(root)
+
+
+@pytest.fixture
+def config(tmp_path):
+    DefaultConfig._reset_instance_for_testing()
+    cfg = DefaultConfig()
+    cfg.import_dict({'max_sequence_len': 6, 'assumed_frame_rate': 10,
+                     'load_screen_content': True})
+    yield cfg
+    DefaultConfig._reset_instance_for_testing()
+
+
+def make_dataset(dataset_root, config, tmp_path, **kw):
+    return EVESequencesBase(
+        dataset_root, config=config, participants_to_use=['train01'],
+        cameras_to_use=['webcam_c'], types_of_stimuli=['image'],
+        cache_dir=str(tmp_path / 'segcache'), **kw)
+
+
+def test_video_reader_frame_exact(dataset_root):
+    video = os.path.join(dataset_root, 'train01', 'step008_image_test',
+                         'webcam_c_eyes.mp4')
+    indices = [0, 3, 6, 9, 12]
+    ts, frames = VideoReader(video, frame_indices=indices).get_frames()
+    assert frames.shape == (5, 128, 256, 3)
+    assert len(ts) == 5
+    # Pixel values encode the frame index (5 + 6*i), codec-lossy tolerance.
+    for j, i in enumerate(indices):
+        expected = 5 + 6 * i
+        got = float(frames[j].mean())
+        assert abs(got - expected) < 4, (i, expected, got)
+
+
+def test_segmentation_cache(dataset_root, config, tmp_path):
+    segs = seg_lib.build_segmentation_cache(
+        dataset_root, 10, 6, cache_dir=str(tmp_path / 'segcache'))
+    cam = segs['train01']['step008_image_test']['webcam_c']
+    # 40 frames at 30 fps, 6-frame windows at 10 Hz -> window 18, interval 3:
+    # segments [0..17:3], [18..35:3], [36..39:3]
+    assert cam[0] == [0, 3, 6, 9, 12, 15]
+    assert cam[1] == [18, 21, 24, 27, 30, 33]
+    assert cam[2] == [36, 39]
+    # screen at 30 fps has identical segmentation
+    assert segs['train01']['step008_image_test']['screen'] == cam
+
+
+def test_dataset_getitem(dataset_root, config, tmp_path):
+    ds = make_dataset(dataset_root, config, tmp_path)
+    assert len(ds) == 3  # 3 windows for 1 participant/stimulus/camera
+    item = ds[0]
+    assert item['left_eye_patch'].shape == (6, 128, 128, 3)
+    assert item['right_eye_patch'].shape == (6, 128, 128, 3)
+    assert item['screen_frame'].shape == (6, 72, 128, 3)
+    assert item['left_eye_patch'].dtype == np.float32
+    assert item['left_eye_patch'].min() >= -1.0
+    assert item['left_eye_patch'].max() <= 1.0
+    assert item['screen_frame'].min() >= 0.0
+    assert item['timestamps'].dtype == np.int64
+    assert item['head_R'].shape == (6, 3, 3)
+    assert item['left_PoG_tobii'].shape == (6, 2)
+    assert item['camera_transformation'].shape == (6, 4, 4)
+    assert item['participant'] == 'train01'
+    assert item['camera'] == 'webcam_c'
+    # Eye split: left patch is the RIGHT half of the strip
+    # (reference eve_sequences.py:283-285).
+
+
+def test_dataset_padding(dataset_root, config, tmp_path):
+    ds = make_dataset(dataset_root, config, tmp_path)
+    item = ds[2]  # partial window: 2 frames padded to 6
+    assert item['left_eye_patch'].shape == (6, 128, 128, 3)
+    assert item['timestamps'][2:].tolist() == [0, 0, 0, 0]
+    np.testing.assert_array_equal(item['left_eye_patch'][2:], 0.0)
+    assert item['left_PoG_tobii_validity'][:2].all()
+    assert not item['left_PoG_tobii_validity'][2:].any()
+
+
+def test_rodrigues_roundtrip(dataset_root, config, tmp_path):
+    ds = make_dataset(dataset_root, config, tmp_path)
+    item = ds[0]
+    # head_R computed from head_rvec must be orthonormal with det 1
+    for R in item['head_R']:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-5
+
+
+def test_loader_batching_and_device(dataset_root, config, tmp_path):
+    ds = make_dataset(dataset_root, config, tmp_path)
+    dl = loader_lib.DataLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                               num_workers=2, seed=0)
+    assert len(dl) == 1
+    batches = list(dl)
+    assert len(batches) == 1
+    batch = batches[0]
+    assert batch['left_eye_patch'].shape == (2, 6, 128, 128, 3)
+    assert isinstance(batch['participant'], list)
+
+    device_batch, host = loader_lib.to_device_arrays(batch)
+    assert 'participant' in host and 'participant' not in device_batch
+    assert 'timestamps_ns' in host
+    ts = np.asarray(device_batch['timestamps'])
+    assert ts.dtype == np.float32
+    real = ts[ts > 0]
+    assert real.min() == 1.0  # rebased
+    assert real.max() < 1e10
+
+
+def test_loader_workers_match_serial(dataset_root, config, tmp_path):
+    ds = make_dataset(dataset_root, config, tmp_path)
+    dl0 = loader_lib.DataLoader(ds, batch_size=3, num_workers=0)
+    dl2 = loader_lib.DataLoader(ds, batch_size=3, num_workers=2)
+    b0, b2 = next(iter(dl0)), next(iter(dl2))
+    for k in b0:
+        if k in loader_lib.STRING_KEYS:
+            assert b0[k] == b2[k]
+        else:
+            np.testing.assert_array_equal(b0[k], b2[k])
+
+
+def test_end_to_end_forward_from_disk(dataset_root, config, tmp_path):
+    """Disk -> loader -> EVE forward: the full input contract in one test."""
+    import jax
+    from eve_tpu.models import eve as eve_lib
+    ds = make_dataset(dataset_root, config, tmp_path)
+    dl = loader_lib.DataLoader(ds, batch_size=2, num_workers=0)
+    batch = next(iter(dl))
+    device_batch, host = loader_lib.to_device_arrays(batch)
+    # Drop screen-only auxiliary keys the model does not consume.
+    spec = eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    out = eve_lib.forward(spec, params, device_batch, training=False,
+                          output_predictions=True)
+    assert np.isfinite(float(out['full_loss']))
+    assert out['PoG_px_final'].shape == (2, 6, 2)
+    # Untrained eye-net outputs zero gaze (zero-init head); the projected
+    # PoG must still be on-screen and finite.
+    assert np.isfinite(np.asarray(out['PoG_px_initial'])).all()
