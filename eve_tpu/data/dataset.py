@@ -155,14 +155,18 @@ class EVESequencesBase:
                 output_size=output_size).get_frames()
 
         subentry['timestamps'] = np.asarray(timestamps, np.int64)
+        use_native = getattr(cfg, 'use_native_framepack', True)
         if source == 'screen':
-            subentry['frame'] = preprocess_screen_frames(frames)
+            from eve_tpu.data.framepack import pack_screen_frames
+            subentry['frame'] = pack_screen_frames(frames,
+                                                   use_native=use_native)
+        elif cfg.camera_frame_type == 'eyes':
+            from eve_tpu.data.framepack import pack_eye_frames
+            left, right = pack_eye_frames(frames, use_native=use_native)
+            subentry['left_eye_patch'] = left
+            subentry['right_eye_patch'] = right
         else:
-            frames = preprocess_frames(frames)
-            ew = cfg.eyes_size[0]
-            # NHWC: split along width
-            subentry['left_eye_patch'] = frames[:, :, ew:, :]
-            subentry['right_eye_patch'] = frames[:, :, :ew, :]
+            subentry['frame'] = preprocess_frames(frames)
 
         # Zero-pad short clips (zero validity for padded frames).
         for key, value in subentry.items():

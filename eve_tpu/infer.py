@@ -1,0 +1,107 @@
+"""Inference harness: single-video dataset, weight loading, eval iterator.
+
+Mirrors src/core/inference.py:40-127: hard config overrides, input-path
+parsing into (participant, stimulus, camera), a batch-1 dataset over that
+one video, weights from ``--resume-from`` checkpoints or local copies of the
+released reference weights, and a no-grad iterator yielding numpy dicts.
+"""
+
+import logging
+import os
+
+import numpy as np
+
+import jax
+
+from eve_tpu.config import DefaultConfig
+from eve_tpu.data.dataset import EVESequencesBase
+from eve_tpu.data.loader import DataLoader, to_device_arrays
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.train import harness
+from eve_tpu.train.checkpoint import CheckpointManager
+from eve_tpu.train.step import make_eval_step
+from eve_tpu.utils.load_model import load_pretrained_params
+
+logger = logging.getLogger(__name__)
+
+
+def script_init_common(argv=None):
+    config = DefaultConfig()
+    config.override('fully_reproducible', True)
+    config.override('refine_net_enabled', True)
+    config.override('load_screen_content', True)
+    config.override('load_full_frame_for_visualization', True)
+    harness.script_init_common(argv=argv,
+                               description='Run EVE inference on a video.')
+    assert os.path.isfile(config.input_path), config.input_path
+    assert config.output_path > ''
+    return config
+
+
+def init_dataset(config):
+    components = config.input_path.split('/')
+    person_id = components[-3]
+    stimulus_type = components[-2].split('_')[1]
+    camera_type = components[-1][:-4]
+    for suffix in ('_eyes', '_face'):
+        if camera_type.endswith(suffix):
+            camera_type = camera_type[:-len(suffix)]
+    assert stimulus_type in ('image', 'video', 'wikipedia')
+    assert camera_type in ('webcam_l', 'webcam_c', 'webcam_r', 'basler')
+
+    dataset = EVESequencesBase(
+        config.datasrc_eve, config=config,
+        participants_to_use=[person_id],
+        cameras_to_use=[camera_type],
+        types_of_stimuli=[stimulus_type],
+        stimulus_name_includes=components[-2])
+    dataloader = DataLoader(dataset, batch_size=1, shuffle=False,
+                            drop_last=False, num_workers=2)
+    return dataset, dataloader
+
+
+def model_setup(config, pretrained_dir=None):
+    """Build spec + params from a run dir or released weights."""
+    spec = eve_lib.EveSpec.from_config(config)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+
+    if config.resume_from:
+        assert os.path.isdir(config.resume_from)
+        import optax
+        from eve_tpu.train.step import TrainState
+        import jax.numpy as jnp
+        dummy_state = TrainState(step=jnp.zeros((), jnp.int32),
+                                 params=params, opt_state=())
+        mgr = CheckpointManager(config.resume_from)
+        state, last_step = mgr.load_last_checkpoint(dummy_state,
+                                                    load_optimizer=False)
+        assert last_step > 0, 'no checkpoint found in %s' % config.resume_from
+        params = state.params
+    else:
+        logger.info('Loading default weights if possible '
+                    '(no --resume-from specified).')
+        eye = load_pretrained_params(config, 'eye_net', pretrained_dir)
+        if eye is not None:
+            params['eye_net'] = eye
+        refine = load_pretrained_params(config, 'refine_net', pretrained_dir)
+        if refine is not None:
+            params['refine_net'] = refine
+    return spec, params
+
+
+def iterator(spec, params, dataloader, create_images=True):
+    """Yield (step, inputs_np, outputs_np) per batch (reference :103-127)."""
+    eval_step = make_eval_step(spec, output_predictions=True,
+                               create_images=create_images)
+    for current_step, batch in enumerate(dataloader):
+        device_batch, host_extras = to_device_arrays(batch)
+        outputs = eval_step(params, device_batch)
+        inputs_np = {}
+        inputs_np.update({k: np.asarray(v) for k, v in device_batch.items()})
+        inputs_np.update(host_extras)
+        outputs_np = {k: np.asarray(v) for k, v in outputs.items()
+                      if hasattr(v, 'shape')}
+        # Original int64 timestamps for downstream writers.
+        if 'timestamps_ns' in host_extras:
+            outputs_np['timestamps'] = host_extras['timestamps_ns']
+        yield current_step, inputs_np, outputs_np

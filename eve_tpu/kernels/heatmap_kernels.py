@@ -1,0 +1,94 @@
+"""Fused Pallas TPU kernels: Gaussian heatmap render and soft-argmax.
+
+These are the hottest non-matmul ops in EVE (SURVEY.md section 7 build plan
+step 9): per frame the model renders multiple 72x128 Gaussian maps and
+soft-argmaxes the refined heatmap. XLA fuses the naive formulations into a
+few VPU passes already; the Pallas versions cut memory traffic further:
+
+* render: one pass, no (..., H) / (..., W) broadcast temporaries in HBM;
+* soft-argmax: single VMEM-resident sweep producing max, exp-sums and both
+  weighted coordinate sums without materializing the softmax tensor.
+
+Both operate on (N, 72, 128) blocks — (72, 128) is exactly 9x1 float32
+(8, 128) tiles, so layouts are aligned. Kernels run only on TPU; callers
+fall back to the jnp formulations elsewhere (see eve_tpu/ops/heatmap.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HEATMAP_H = 72
+HEATMAP_W = 128
+
+
+def _render_kernel(centres_ref, out_ref, *, alpha, scale_x, scale_y, h, w):
+    i = pl.program_id(0)
+    cx = centres_ref[i, 0] * scale_x
+    cy = centres_ref[i, 1] * scale_y
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+    out_ref[0] = jnp.exp(alpha * d2) + 1e-8
+
+
+def pallas_make_heatmaps(centres_px, sigma, heatmap_size=(HEATMAP_W, HEATMAP_H),
+                         actual_screen_size=(1920.0, 1080.0),
+                         interpret=False):
+    """(N, 2) screen-px centers -> (N, H, W) Gaussian heatmaps (float32)."""
+    w, h = heatmap_size
+    n = centres_px.shape[0]
+    kernel = functools.partial(
+        _render_kernel,
+        alpha=-0.5 / float(sigma) ** 2,
+        scale_x=w / float(actual_screen_size[0]),
+        scale_y=h / float(actual_screen_size[1]),
+        h=h, w=w)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        interpret=interpret,
+    )(centres_px.astype(jnp.float32))
+
+
+def _softargmax_kernel(hm_ref, out_ref, *, beta, h, w, sw, sh):
+    x = hm_ref[0].astype(jnp.float32)
+    m = jnp.max(x)
+    p = jnp.exp(beta * (x - m))
+    total = jnp.sum(p)
+    # Coordinate grids in [0, 1] (linspace with endpoint=True)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) / (w - 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) / (h - 1)
+    inv = 1.0 / total
+    px = jnp.sum(p * xs) * inv * sw
+    py = jnp.sum(p * ys) * inv * sh
+    i = pl.program_id(0)
+    out_ref[i, 0] = jnp.clip(px, 0.0, sw)
+    out_ref[i, 1] = jnp.clip(py, 0.0, sh)
+
+
+def pallas_soft_argmax(heatmaps, heatmap_size=(HEATMAP_W, HEATMAP_H),
+                       actual_screen_size=(1920.0, 1080.0), beta=100.0,
+                       interpret=False):
+    """(N, H, W) heatmaps -> (N, 2) screen-px coordinates (float32)."""
+    w, h = heatmap_size
+    n = heatmaps.shape[0]
+    kernel = functools.partial(
+        _softargmax_kernel, beta=float(beta), h=h, w=w,
+        sw=float(actual_screen_size[0]), sh=float(actual_screen_size[1]))
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
+        interpret=interpret,
+    )(heatmaps)

@@ -72,6 +72,7 @@ class EveSpec:
     loss_coeff_heatmap_mse_final: float = 0.0
     # Compute
     compute_dtype: str = 'float32'
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -113,6 +114,7 @@ class EveSpec:
             loss_coeff_heatmap_ce_final=config.loss_coeff_heatmap_ce_final,
             loss_coeff_heatmap_mse_final=config.loss_coeff_heatmap_mse_final,
             compute_dtype=config.tpu_compute_dtype,
+            use_pallas=config.tpu_use_pallas,
         )
 
     @property
@@ -211,10 +213,11 @@ def calculate_additional_labels(spec: EveSpec, batch, rng, training):
                     ('heatmap_initial', spec.gaze_heatmap_sigma_initial),
                     ('heatmap_history', spec.gaze_heatmap_sigma_history),
                     ('heatmap_final', spec.gaze_heatmap_sigma_final)):
-                hm = hm_ops.make_heatmaps(
+                hm = hm_ops.make_heatmaps_fast(
                     labels['PoG_px_tobii'], sigma,
                     heatmap_size=spec.gaze_heatmap_size,
-                    actual_screen_size=spec.actual_screen_size)
+                    actual_screen_size=spec.actual_screen_size,
+                    use_pallas=spec.use_pallas)
                 labels[name] = hm * vmask
                 labels[name + '_validity'] = validity
 
@@ -259,10 +262,11 @@ def g_to_pog(spec: EveSpec, full, g_left, g_right, with_heatmap=True):
         full['o'], out['PoG_mm'], full['left_R'],
         full['camera_transformation'])
     if with_heatmap and spec.refine_net_enabled:
-        out['heatmap'] = hm_ops.make_heatmaps(
+        out['heatmap'] = hm_ops.make_heatmaps_fast(
             out['PoG_px'], spec.gaze_heatmap_sigma_initial,
             heatmap_size=spec.gaze_heatmap_size,
-            actual_screen_size=spec.actual_screen_size)
+            actual_screen_size=spec.actual_screen_size,
+            use_pallas=spec.use_pallas)
     return out
 
 
@@ -408,10 +412,11 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
         w, h = spec.gaze_heatmap_size
         interm['heatmap_final'] = heatmap_final.reshape(B, T, h, w)
 
-        interm['PoG_px_final'] = hm_ops.soft_argmax(
+        interm['PoG_px_final'] = hm_ops.soft_argmax_fast(
             interm['heatmap_final'],
             heatmap_size=spec.gaze_heatmap_size,
-            actual_screen_size=spec.actual_screen_size)
+            actual_screen_size=spec.actual_screen_size,
+            use_pallas=spec.use_pallas)
         cm_per_px = 0.1 * full['millimeters_per_pixel']
         interm['PoG_cm_final'] = interm['PoG_px_final'] * cm_per_px
         interm['g_final'] = geo.calculate_combined_gaze_direction(

@@ -143,3 +143,35 @@ def decayed_history_scan(heatmaps, timestamps, validities,
           jnp.moveaxis(validities, 1, 0))
     _, out = jax.lax.scan(step, init, xs)
     return jnp.moveaxis(out, 0, 1)
+
+
+def _pallas_ok():
+    return jax.default_backend() == 'tpu'
+
+
+def make_heatmaps_fast(centres_px, sigma, heatmap_size=(HEATMAP_W, HEATMAP_H),
+                       actual_screen_size=(SCREEN_W, SCREEN_H),
+                       use_pallas=False):
+    """make_heatmaps with optional fused Pallas path on TPU."""
+    if use_pallas and _pallas_ok():
+        from eve_tpu.kernels.heatmap_kernels import pallas_make_heatmaps
+        lead = centres_px.shape[:-1]
+        flat = centres_px.reshape(-1, 2)
+        out = pallas_make_heatmaps(flat, sigma, heatmap_size,
+                                   actual_screen_size)
+        return out.reshape(lead + out.shape[1:])
+    return make_heatmaps(centres_px, sigma, heatmap_size, actual_screen_size)
+
+
+def soft_argmax_fast(heatmaps, heatmap_size=(HEATMAP_W, HEATMAP_H),
+                     actual_screen_size=(SCREEN_W, SCREEN_H),
+                     beta=SOFTARGMAX_BETA, use_pallas=False):
+    """soft_argmax with optional fused Pallas path on TPU."""
+    if use_pallas and _pallas_ok():
+        from eve_tpu.kernels.heatmap_kernels import pallas_soft_argmax
+        lead = heatmaps.shape[:-2]
+        flat = heatmaps.reshape((-1,) + heatmaps.shape[-2:])
+        out = pallas_soft_argmax(flat.astype(jnp.float32), heatmap_size,
+                                 actual_screen_size, beta)
+        return out.reshape(lead + (2,))
+    return soft_argmax(heatmaps, heatmap_size, actual_screen_size, beta)

@@ -1,0 +1,403 @@
+"""Training harness: CLI/config init, datasets, run setup, main loop.
+
+Mirrors the reference harness surface (src/core/training.py:61-638):
+auto-generated ``--flag`` CLI from config attributes, JSON-then-CLI
+precedence, run identifier ``<Model><suffix>/<timestamp>.<md5(cfg)[:6]>``,
+output-dir provenance, live-validation subsets, periodic checkpoint/test,
+NaN abort, final full test. The per-step backward/clip/step sequence is
+fused into one jitted XLA computation (see train/step.py); batches are
+sharded over the ``data`` mesh axis (see parallel/mesh.py).
+"""
+
+import argparse
+import hashlib
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from eve_tpu.config import DefaultConfig
+from eve_tpu.data.dataset import (
+    EVESequences_train, EVESequences_val, EVESequences_test)
+from eve_tpu.data.loader import DataLoader, DevicePrefetcher, to_device_arrays
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.parallel import mesh as mesh_lib
+from eve_tpu.train import optim as optim_lib
+from eve_tpu.train import step as step_lib
+from eve_tpu.train.checkpoint import CheckpointManager
+from eve_tpu.train.gsheet import GoogleSheetLogger
+from eve_tpu.train.logging_utils import Tensorboard
+
+logger = logging.getLogger(__name__)
+
+
+def _convert_cli_arg_type(config, key, value):
+    config_type = type(getattr(config, key))
+    if config_type == bool:
+        if value.lower() in ('true', 'yes', 'y') or value == '1':
+            return True
+        if value.lower() in ('false', 'no', 'n') or value == '0':
+            return False
+        raise ValueError('Invalid input for bool config "%s": %s'
+                         % (key, value))
+    if config_type == list:
+        import json as json_lib
+        return json_lib.loads(value)
+    return config_type(value)
+
+
+def script_init_common(argv=None, description='Train a gaze estimation model.'):
+    """Parse CLI (auto --flags from config attrs), load JSONs, seed."""
+    config = DefaultConfig()
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument('-v', type=str, default='info',
+                        choices=['debug', 'info', 'warning', 'error',
+                                 'critical'])
+    parser.add_argument('config_json', type=str, nargs='*',
+                        help='Path(s) to JSON config, parsed in order.')
+    for key in dir(config):
+        if key.startswith('_') or key.startswith('__'):
+            continue
+        if isinstance(getattr(DefaultConfig, key, None), property):
+            continue
+        value = getattr(config, key)
+        if callable(value):
+            continue
+        arg_type = str if isinstance(value, (bool, list)) else type(value)
+        parser.add_argument('--' + key.replace('_', '-'), type=arg_type,
+                            metavar=str(value),
+                            help='Expected type is `%s`.'
+                                 % type(value).__name__)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=args.v.upper(),
+        format='%(asctime)s %(levelname)s %(message)s',
+        datefmt='%d/%m %H:%M:%S')
+
+    for json_path in args.config_json:
+        config.import_json(json_path)
+
+    config.import_dict({
+        key: _convert_cli_arg_type(config, key, value)
+        for key, value in vars(args).items()
+        if value is not None and key not in ('v', 'config_json')
+        and hasattr(config, key)
+    })
+
+    np.random.seed(0)
+    return config
+
+
+DATASET_CLASSES = {
+    'train': EVESequences_train,
+    'val': EVESequences_val,
+    'test': EVESequences_test,
+}
+
+
+def init_datasets(config, train_specs, test_specs):
+    """Build training and live-validation datasets + loaders.
+
+    Spec tuples: (tag, dataset_class, path, stimuli, cameras) — identical
+    to the reference (src/train.py:35-41).
+    """
+    train_data = {}
+    for tag, dataset_class, path, stimuli, cameras in train_specs:
+        dataset = dataset_class(path, config=config, cameras_to_use=cameras,
+                                types_of_stimuli=stimuli)
+        loader = DataLoader(dataset, batch_size=config.batch_size,
+                            shuffle=True, drop_last=True,
+                            num_workers=config.train_data_workers)
+        train_data[tag] = {'dataset': dataset, 'dataloader': loader}
+        logger.info('> Ready to use training dataset: %s (%d videos)',
+                    tag, len(dataset))
+
+    test_data = {}
+    for tag, dataset_class, path, stimuli, cameras in test_specs:
+        dataset = dataset_class(path, config=config, cameras_to_use=cameras,
+                                types_of_stimuli=stimuli,
+                                live_validation=True)
+        indices = None
+        if len(dataset) > config.test_num_samples:
+            indices = sorted(np.random.permutation(
+                len(dataset))[:config.test_num_samples].tolist())
+        loader = SubsetLoader(dataset, indices,
+                              batch_size=config.test_batch_size,
+                              num_workers=config.test_data_workers)
+        test_data[tag] = {
+            'dataset': dataset, 'dataset_class': dataset_class,
+            'dataset_path': path, 'stimuli': stimuli, 'cameras': cameras,
+            'dataloader': loader,
+        }
+        logger.info('> Ready to use evaluation dataset: %s (%d entries%s)',
+                    tag, len(dataset),
+                    '' if indices is None else ', eval on %d' % len(indices))
+    return train_data, test_data
+
+
+class SubsetLoader:
+    """DataLoader over an optional index subset (live validation)."""
+
+    def __init__(self, dataset, indices, batch_size, num_workers=0):
+        self.dataset = dataset
+        self.indices = indices
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+
+    def __len__(self):
+        n = len(self.indices) if self.indices is not None else \
+            len(self.dataset)
+        return -(-n // self.batch_size)
+
+    @property
+    def num_entries(self):
+        return (len(self.indices) if self.indices is not None
+                else len(self.dataset))
+
+    def __iter__(self):
+        from eve_tpu.data.loader import collate
+        order = (self.indices if self.indices is not None
+                 else range(len(self.dataset)))
+        items = []
+        for i in order:
+            items.append(self.dataset[int(i)])
+            if len(items) == self.batch_size:
+                yield collate(items)
+                items = []
+        if items:
+            yield collate(items)
+
+
+class Experiment:
+    """Holds all run state: config, spec, mesh, train state, IO managers."""
+
+    def __init__(self, config, output_dir_base='./outputs'):
+        self.config = config
+        self.spec = eve_lib.EveSpec.from_config(config)
+
+        identifier = ('EVE' + config.identifier_suffix + '/' +
+                      time.strftime('%y%m%d_%H%M%S') + '.' +
+                      hashlib.md5(config.get_full_json().encode()
+                                  ).hexdigest()[:6])
+        if config.resume_from:
+            identifier = '/'.join(config.resume_from.split('/')[-2:])
+            output_dir = config.resume_from
+        else:
+            output_dir = os.path.join(output_dir_base, identifier)
+        self.identifier = identifier
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+
+        self.tensorboard = Tensorboard(output_dir)
+        if not config.resume_from and mesh_lib.is_primary_process():
+            config.write_file_contents(output_dir)
+
+        # File logging (reference training.py:199-205)
+        file_handler = logging.FileHandler(
+            os.path.join(output_dir, 'messages.log'))
+        file_handler.setFormatter(logging.Formatter(
+            '%(asctime)s %(levelname)s %(message)s', '%d/%m %H:%M:%S'))
+        logging.getLogger().addHandler(file_handler)
+
+        self.mesh = mesh_lib.make_mesh(config.tpu_num_devices)
+        self.gsheet_logger = GoogleSheetLogger(config, identifier)
+        self.checkpoint_manager = CheckpointManager(
+            output_dir, keep_n=config.checkpoints_keep_n)
+        self.last_step = 0
+        self.last_epoch = 0.0
+
+    def build_training(self, steps_per_epoch):
+        cfg = self.config
+        self.tx, self.schedule = optim_lib.build_optimizer(
+            cfg, steps_per_epoch)
+        self.state = step_lib.create_train_state(
+            self.spec, self.tx, jax.random.PRNGKey(0))
+        num_params = sum(x.size for x in
+                         jax.tree_util.tree_leaves(self.state.params))
+        logger.info('There are %d parameters.', num_params)
+        if len(self.mesh.devices.flatten()) > 1:
+            self.state = self.state.replace(
+                params=mesh_lib.replicate(self.mesh, self.state.params),
+                opt_state=mesh_lib.replicate(self.mesh, self.state.opt_state))
+        self.train_step = step_lib.make_train_step(self.spec, self.tx)
+        self.eval_step = step_lib.make_eval_step(self.spec)
+        if cfg.resume_from:
+            self.state, self.last_step = \
+                self.checkpoint_manager.load_last_checkpoint(self.state)
+        return self
+
+    def device_put_batch(self, device_batch):
+        if len(self.mesh.devices.flatten()) > 1:
+            return mesh_lib.shard_batch(self.mesh, device_batch)
+        return jax.device_put(device_batch)
+
+
+def step_modulo(current, interval_size):
+    return current % interval_size == (interval_size - 1)
+
+
+def main_loop_iterator(exp, train_data, test_data):
+    """Generator over training steps; yields (step, metrics, images).
+
+    Deviation from the reference generator (training.py:425-592): the
+    backward pass runs inside the jitted step before the yield, so the
+    caller receives finished metrics instead of appending loss terms.
+    """
+    config = exp.config
+    if config.skip_training:
+        return
+
+    max_dataset_len = max(len(d['dataset']) for d in train_data.values())
+    steps_per_epoch = int(max_dataset_len / config.batch_size)
+    num_training_steps = int(config.num_epochs * max(steps_per_epoch, 1))
+    exp.build_training(max(steps_per_epoch, 1))
+
+    rng = jax.random.PRNGKey(0)
+    iterators = {}
+
+    def next_batch(tag, data_dict):
+        while True:
+            it = iterators.get(tag)
+            if it is None:
+                it = iter(DevicePrefetcher(data_dict['dataloader'],
+                                           exp.device_put_batch))
+                iterators[tag] = it
+            try:
+                return next(it)
+            except StopIteration:
+                iterators.pop(tag, None)
+
+    profiling = False
+    for current_step in range(exp.last_step, num_training_steps):
+        current_epoch = (current_step * config.batch_size) / max_dataset_len
+        exp.tensorboard.update_current_step(current_step + 1)
+
+        if config.profile_dir and current_step == exp.last_step + 5:
+            jax.profiler.start_trace(config.profile_dir)
+            profiling = True
+
+        # Single training source (reference asserts the same, eve.py:71)
+        tag, data_dict = next(iter(train_data.items()))
+        device_batch, _ = next_batch(tag, data_dict)
+
+        rng, sub = jax.random.split(rng)
+        exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
+
+        if profiling and current_step == exp.last_step + 10:
+            jax.profiler.stop_trace()
+            profiling = False
+
+        images = {}
+        yield current_step, metrics, images
+
+        if step_modulo(current_step, config.log_every_n_steps):
+            host_metrics = {k: float(v) for k, v in metrics.items()
+                            if k != 'nan_flag'}
+            logger.info('Step %d, Epoch %.2f> %s', current_step + 1,
+                        current_epoch,
+                        ', '.join('%s: %.4g' % (k, host_metrics[k])
+                                  for k in sorted(host_metrics)))
+            if step_modulo(current_step,
+                           config.tensorboard_scalars_every_n_steps):
+                for key, metric in host_metrics.items():
+                    if key.startswith('loss_'):
+                        exp.tensorboard.add_scalar(
+                            'train_losses/%s' % key[len('loss_'):], metric)
+                    elif key.startswith('metric_'):
+                        exp.tensorboard.add_scalar(
+                            'train_metrics/%s' % key[len('metric_'):], metric)
+                    else:
+                        exp.tensorboard.add_scalar('train/%s' % key, metric)
+                exp.tensorboard.add_scalar('lr/epoch', current_epoch)
+            if step_modulo(current_step,
+                           config.tensorboard_learning_rate_every_n_steps):
+                exp.tensorboard.add_scalar(
+                    'lr/optim_0', float(exp.schedule(current_step)))
+            if bool(metrics['nan_flag']):
+                logger.error('NaN encountered during training; aborting.')
+                cleanup_and_quit(exp, train_data, test_data)
+
+        if step_modulo(current_step, config.checkpoints_save_every_n_steps):
+            if mesh_lib.is_primary_process():
+                exp.checkpoint_manager.save_at_step(
+                    current_step + 1, exp.state)
+
+        if step_modulo(current_step, config.test_every_n_steps):
+            _, for_gsheet = test_model_on_all(exp, test_data,
+                                              current_step + 1)
+            if for_gsheet is not None:
+                for_gsheet['Step'] = current_step + 1
+                for_gsheet['Epoch'] = current_epoch
+                exp.gsheet_logger.update_or_append_row(for_gsheet)
+
+        exp.last_epoch = current_epoch
+        exp.last_step = current_step
+
+    if mesh_lib.is_primary_process() and hasattr(exp, 'state'):
+        exp.checkpoint_manager.save_at_step(exp.last_step + 2, exp.state)
+
+
+def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
+    """Evaluate on all test loaders; weighted mean of 0-dim outputs."""
+    final_out = {}
+    for tag, data_dict in test_data.items():
+        loader = data_dict['dataloader']
+        num_entries = getattr(loader, 'num_entries', None) or \
+            len(data_dict['dataset'])
+        totals = {}
+        for batch in loader:
+            device_batch, _ = to_device_arrays(batch)
+            out = exp.eval_step(exp.state.params, device_batch)
+            batch_size = next(iter(
+                v for v in batch.values()
+                if isinstance(v, np.ndarray))).shape[0]
+            for k, v in out.items():
+                if hasattr(v, 'ndim') and v.ndim == 0:
+                    totals[k] = totals.get(k, 0.0) + \
+                        float(v) * (batch_size / num_entries)
+        final_out[tag] = totals
+        logger.info('%10s test: %s', '[%s]' % tag,
+                    ', '.join('%s: %.4g' % (k, totals[k])
+                              for k in sorted(totals)))
+        exp.tensorboard.update_current_step(current_step)
+        for k, v in totals.items():
+            exp.tensorboard.add_scalar(
+                '%s_%s/%s' % (log_key_prefix, tag, k), v)
+
+    for_gsheet = None
+    if exp.gsheet_logger.ready:
+        for_gsheet = {}
+        for tag, out in final_out.items():
+            for k, v in out.items():
+                for_gsheet['%s/%s/%s' % (log_key_prefix, tag, k)] = v
+    return final_out, for_gsheet
+
+
+def do_final_full_test(exp, test_data):
+    """Re-instantiate full test datasets (is_final_test) and evaluate."""
+    config = exp.config
+    for tag, v in test_data.items():
+        new_dataset = v['dataset_class'](
+            v['dataset_path'], config=config, cameras_to_use=v['cameras'],
+            types_of_stimuli=v['stimuli'], is_final_test=True)
+        v['full_dataset'] = new_dataset
+        v['dataloader'] = SubsetLoader(
+            new_dataset, None, batch_size=config.full_test_batch_size,
+            num_workers=config.full_test_data_workers)
+        v['dataset'] = new_dataset
+        logger.info('> Full test on dataset %s: %d sequences',
+                    tag, len(new_dataset))
+    _, for_gsheet = test_model_on_all(exp, test_data, exp.last_step + 2,
+                                      log_key_prefix='full_test')
+    if for_gsheet is not None:
+        exp.gsheet_logger.update_or_append_row(for_gsheet)
+
+
+def cleanup_and_quit(exp, train_data, test_data):
+    exp.tensorboard.close()
+    sys.exit(0)

@@ -1,0 +1,111 @@
+"""TensorBoard wrapper and image-grid helpers.
+
+Mirrors the reference's ``Tensorboard`` singleton surface
+(src/core/tensorboard.py:28-68): an internal ``current_step`` so call sites
+pass only (tag, value); scalar/image/grid. Backed by tensorboardX when
+available, else a JSONL event file (so logging never blocks training).
+"""
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    from tensorboardX import SummaryWriter
+except Exception:  # pragma: no cover
+    SummaryWriter = None
+
+
+def make_grid(images, nrow=8, padding=2, normalize=False, scale_each=False):
+    """numpy NHWC (or NHW) image batch -> single HWC grid image.
+
+    Equivalent surface to torchvision.utils.make_grid for logging.
+    """
+    images = np.asarray(images)
+    if images.ndim == 3:
+        images = images[..., None]
+    if images.shape[-1] == 1:
+        images = np.repeat(images, 3, axis=-1)
+    n, h, w, c = images.shape
+    if normalize:
+        def norm(x):
+            lo, hi = x.min(), x.max()
+            return (x - lo) / (hi - lo + 1e-8)
+        images = (np.stack([norm(im) for im in images])
+                  if scale_each else norm(images))
+    ncol = min(nrow, n)
+    nrows = -(-n // ncol)
+    grid = np.zeros((nrows * (h + padding) + padding,
+                     ncol * (w + padding) + padding, c), images.dtype)
+    for idx in range(n):
+        r, cidx = idx // ncol, idx % ncol
+        y = r * (h + padding) + padding
+        x = cidx * (w + padding) + padding
+        grid[y:y + h, x:x + w] = images[idx]
+    return grid
+
+
+class Tensorboard:
+    """Step-stateful TB writer; singleton like the reference."""
+
+    _instance = None
+
+    def __new__(cls, *args, **kwargs):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __init__(self, output_dir):
+        self.output_dir = output_dir
+        self.current_step = 0
+        self._writer = None
+        self._jsonl = None
+        if SummaryWriter is not None:
+            try:
+                self._writer = SummaryWriter(output_dir)
+            except Exception as e:  # pragma: no cover
+                logger.warning('tensorboardX unavailable: %s', e)
+        if self._writer is None:
+            os.makedirs(output_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(output_dir, 'scalars.jsonl'), 'a')
+
+    @classmethod
+    def _reset_for_testing(cls):
+        cls._instance = None
+
+    def update_current_step(self, step):
+        self.current_step = step
+
+    def add_scalar(self, tag, value):
+        value = float(value)
+        if self._writer is not None:
+            self._writer.add_scalar(tag, value, self.current_step)
+        else:
+            self._jsonl.write(json.dumps(
+                {'tag': tag, 'value': value, 'step': self.current_step,
+                 'time': time.time()}) + '\n')
+            self._jsonl.flush()
+
+    def add_image(self, tag, value):
+        """value: HWC (or CHW float) numpy image in [0, 1]."""
+        if self._writer is None:
+            return
+        img = np.asarray(value)
+        if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):
+            img = np.transpose(img, (1, 2, 0))
+        self._writer.add_image(tag, img, self.current_step,
+                               dataformats='HWC')
+
+    def add_grid(self, tag, values):
+        self.add_image(tag, make_grid(np.asarray(values)))
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+        if self._jsonl is not None:
+            self._jsonl.close()

@@ -19,6 +19,11 @@ import jax  # noqa: E402
 jax.config.update('jax_num_cpu_devices', 8)
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache: the suite re-jits large models across many
+# test processes; caching cuts repeat runs from minutes to seconds.
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,127 @@
+"""End-to-end harness smoke test: train.py main loop on synthetic data."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from eve_tpu.config import DefaultConfig
+from eve_tpu.data.synthetic import write_synthetic_dataset
+from eve_tpu.train import harness
+from eve_tpu.train.logging_utils import Tensorboard, make_grid
+
+
+@pytest.fixture(scope='module')
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('eve_synth_harness')
+    write_synthetic_dataset(str(root), participants=('train01', 'val01'),
+                            num_frames=40)
+    return str(root)
+
+
+@pytest.fixture
+def config(tmp_path, monkeypatch):
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+    monkeypatch.chdir(tmp_path)
+    cfg = harness.script_init_common(argv=[])
+    cfg.import_dict({
+        'max_sequence_len': 6, 'assumed_frame_rate': 10,
+        'eyes_size': [48, 48],  # decoder resizes; keeps CPU compiles fast
+        'batch_size': 2, 'num_epochs': 2.0,
+        'train_data_workers': 0, 'test_data_workers': 0,
+        'test_num_samples': 2, 'test_batch_size': 2,
+        'test_every_n_steps': 2, 'checkpoints_save_every_n_steps': 2,
+        'base_learning_rate': 0.0001,
+        'train_cameras': ['webcam_c'], 'test_cameras': ['webcam_c'],
+        'train_stimuli': ['image'], 'test_stimuli': ['image'],
+        # eye-net only: the refine pyramid compile is covered by other
+        # tests and is too slow for this host (1 CPU core)
+        'load_screen_content': False, 'refine_net_enabled': False,
+        'full_test_batch_size': 3, 'full_test_data_workers': 0,
+    })
+    yield cfg
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+
+
+def test_script_init_common_cli(tmp_path, monkeypatch):
+    DefaultConfig._reset_instance_for_testing()
+    monkeypatch.chdir(tmp_path)
+    cfg = harness.script_init_common(
+        argv=['--batch-size', '4', '--refine-net-enabled', 'yes'])
+    assert cfg.batch_size == 4
+    assert cfg.refine_net_enabled is True
+    DefaultConfig._reset_instance_for_testing()
+
+
+def test_full_training_loop(dataset_root, config):
+    config.import_dict({'datasrc_eve': dataset_root})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    # (uses train01 for val too — synthetic set has no val participants
+    #  in this fixture; the harness only cares about the loader contract)
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+
+    steps = []
+    for current_step, metrics, images in harness.main_loop_iterator(
+            exp, train_data, test_data):
+        steps.append(current_step)
+        assert np.isfinite(float(metrics['full_loss']))
+    assert len(steps) >= 2
+
+    # Checkpoints written with the reference layout
+    ckpt_dir = os.path.join(exp.output_dir, 'checkpoints')
+    assert os.path.isdir(ckpt_dir)
+    assert any(n.endswith('.ckpt') for n in os.listdir(ckpt_dir))
+    # Provenance written
+    assert os.path.isfile(os.path.join(exp.output_dir, 'configs',
+                                       'combined.json'))
+    assert os.path.isfile(os.path.join(exp.output_dir, 'src.zip'))
+    assert os.path.isfile(os.path.join(exp.output_dir, 'messages.log'))
+
+    # Final full test runs
+    harness.do_final_full_test(exp, test_data)
+
+
+def test_resume_from_checkpoint(dataset_root, config):
+    config.import_dict({'datasrc_eve': dataset_root})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    for _ in harness.main_loop_iterator(exp, train_data, test_data):
+        pass
+    first_run_dir = exp.output_dir
+
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+    cfg2 = harness.script_init_common(argv=[])
+    cfg2.import_dict(dict(
+        {k: v for k, v in config.get_all_key_values().items()
+         if not isinstance(getattr(DefaultConfig, k, None), property)
+         and hasattr(DefaultConfig, k)}), strict=False)
+    cfg2.override('resume_from', first_run_dir)
+    exp2 = harness.Experiment(cfg2, output_dir_base='./outputs')
+    assert exp2.output_dir == first_run_dir
+    train_data2, test_data2 = harness.init_datasets(
+        cfg2, train_specs, val_specs)
+    resumed_steps = [s for s, _, _ in harness.main_loop_iterator(
+        exp2, train_data2, test_data2)]
+    # Resumed at the checkpointed step, so fewer steps remain than a
+    # fresh run would take.
+    assert exp2.last_step > 0 or resumed_steps == []
+
+
+def test_make_grid():
+    imgs = np.random.rand(5, 8, 10, 3).astype(np.float32)
+    grid = make_grid(imgs, nrow=3, padding=1)
+    assert grid.shape == ((8 + 1) * 2 + 1, (10 + 1) * 3 + 1, 3)

@@ -1,0 +1,134 @@
+"""Inference and Codalab-eval pipeline tests on the synthetic dataset."""
+
+import glob
+import gzip
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+from eve_tpu.config import DefaultConfig
+from eve_tpu.data.synthetic import write_synthetic_dataset
+from eve_tpu.train.logging_utils import Tensorboard
+
+
+@pytest.fixture(scope='module')
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('eve_synth_inf')
+    write_synthetic_dataset(str(root), participants=('val01', 'test01'),
+                            num_frames=40)
+    return str(root)
+
+
+@pytest.fixture
+def clean_config(tmp_path, monkeypatch):
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+    monkeypatch.chdir(tmp_path)
+    yield
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+
+
+COMMON_FLAGS = [
+    '--max-sequence-len', '6', '--assumed-frame-rate', '10',
+    '--eyes-size', '[48, 48]',
+]
+
+
+def test_inference_pipeline(dataset_root, clean_config, tmp_path):
+    from eve_tpu import infer
+    from eve_tpu.utils.visualization import VideoEncoder, draw_pog_overlay
+    input_path = os.path.join(dataset_root, 'val01', 'step008_image_test',
+                              'webcam_c.mp4')
+    out_path = str(tmp_path / 'out.mp4')
+    config = infer.script_init_common(argv=COMMON_FLAGS + [
+        '--datasrc-eve', dataset_root,
+        '--input-path', input_path, '--output-path', out_path,
+        '--load-full-frame-for-visualization', 'no',
+    ])
+    # The synthetic fixture has no full-frame screen mp4 at 1080p; the
+    # overlay path upscales screen content instead.
+    config.override('load_full_frame_for_visualization', False)
+    dataset, dataloader = infer.init_dataset(config)
+    assert len(dataset) == 3
+    spec, params = infer.model_setup(config)
+
+    encoder = VideoEncoder(out_path, fps=10)
+    frames_written = 0
+    for step, inputs, outputs in infer.iterator(spec, params, dataloader):
+        assert 'PoG_px_initial' in outputs
+        assert 'PoG_px_final' in outputs
+        assert outputs['timestamps'].dtype == np.int64
+        B, T = outputs['PoG_px_initial'].shape[:2]
+        import cv2
+        sf = (np.asarray(inputs['screen_frame']) * 255).astype(np.uint8)
+        for b in range(B):
+            for t in range(T):
+                frame = cv2.resize(sf[b, t], (1920, 1080))[:, :, ::-1]
+                frame = np.ascontiguousarray(frame)
+                to_draw = [('Initial Estimate', outputs['PoG_px_initial'][b],
+                            np.ones(T, bool), [0, 180, 180])]
+                draw_pog_overlay(frame, to_draw, t=t)
+                encoder.write(frame)
+                frames_written += 1
+    encoder.close()
+    assert frames_written == 18  # 3 clips x 6 frames
+    assert os.path.isfile(out_path) and os.path.getsize(out_path) > 1000
+
+
+def test_eval_codalab_submission(dataset_root, clean_config, tmp_path):
+    import jax
+    import eval_codalab
+    from eve_tpu import infer as infer_lib
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.train import checkpoint as ckpt_lib
+    from eve_tpu.train import step as step_lib
+    import jax.numpy as jnp
+
+    # Create a checkpointed "run" to resume from.
+    run_dir = str(tmp_path / 'run')
+    os.makedirs(run_dir)
+    config = eval_codalab.script_init_common(argv=COMMON_FLAGS + [
+        '--datasrc-eve', dataset_root, '--resume-from', run_dir,
+        '--codalab-eval-batch-size', '2',
+        '--codalab-eval-data-workers', '0',
+    ])
+    spec = eve_lib.EveSpec.from_config(config)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    state = step_lib.TrainState(step=jnp.asarray(1), params=params,
+                                opt_state=())
+    ckpt_lib.CheckpointManager(run_dir).save_at_step(1, state)
+
+    eval_codalab.main.__wrapped__ if hasattr(eval_codalab.main, '__wrapped__') \
+        else None
+    dataset, dataloader = eval_codalab.init_dataset(config)
+    assert len(dataset) == 3
+    spec2, params2 = infer_lib.model_setup(config)
+
+    outputs_to_write = {}
+    for step, inputs, outputs in infer_lib.iterator(spec2, params2,
+                                                    dataloader,
+                                                    create_images=False):
+        B = outputs['PoG_px_initial'].shape[0]
+        for i in range(B):
+            key = (inputs['participant'][i], inputs['subfolder'][i],
+                   inputs['camera'][i])
+            sub = outputs_to_write.setdefault(key[0], {}).setdefault(
+                key[1], {})
+            if key[2] in sub:
+                for k in eval_codalab.KEYS_TO_STORE:
+                    sub[key[2]][k] = np.concatenate(
+                        [sub[key[2]][k], outputs[k][i]], axis=0)
+            else:
+                sub[key[2]] = {k: outputs[k][i]
+                               for k in eval_codalab.KEYS_TO_STORE}
+
+    entry = outputs_to_write['test01']['step008_image_test']['webcam_c']
+    assert entry['timestamps'].shape == (18,)  # 3 clips x 6 frames concat
+    assert entry['PoG_px_initial'].shape == (18, 2)
+    assert entry['PoG_px_final'].shape == (18, 2)
+    assert entry['left_pupil_size'].shape == (18,)
+    assert entry['timestamps'].dtype == np.int64
