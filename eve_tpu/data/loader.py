@@ -154,8 +154,9 @@ class DevicePrefetcher:
             try:
                 for batch in self.loader:
                     q.put(to_device_arrays(batch, self.device_put))
-            finally:
                 q.put(sentinel)
+            except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -163,5 +164,7 @@ class DevicePrefetcher:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
         thread.join()

@@ -180,6 +180,14 @@ def write_synthetic_dataset(root, participants=('train01',),
                     eyes_frames[i] = min(5 + 6 * i, 250)
                 _write_video(os.path.join(d, '%s_eyes.mp4' % cam),
                              eyes_frames, cam_fps)
+                # Small stand-in for the full camera frame video (the real
+                # dataset ships 1080p; inference.py takes this path as its
+                # --input-path identifier).
+                full_frames = np.zeros((Nc, 108, 192, 3), np.uint8)
+                for i in range(Nc):
+                    full_frames[i] = min(5 + 6 * i, 250)
+                _write_video(os.path.join(d, '%s.mp4' % cam),
+                             full_frames, cam_fps)
                 np.savetxt(os.path.join(d, '%s.timestamps.txt' % cam),
                            cam_ts, fmt='%d')
 

@@ -30,8 +30,11 @@ def masked_mean(per_frame_loss, validity):
     """
     v = validity.astype(jnp.float32)
     l = per_frame_loss.astype(jnp.float32)
+    # where (not v*l) so invalid frames contribute neither value nor
+    # cotangent — their loss may be garbage (padded zero labels).
+    l = jnp.where(v > 0, l, 0.0)
     num_valid = jnp.sum(v, axis=1)                      # (B,)
-    acc = jnp.sum(v * l, axis=1)                        # (B,)
+    acc = jnp.sum(l, axis=1)                            # (B,)
     acc = jnp.where(num_valid > 1, acc / jnp.maximum(num_valid, 1.0), acc)
     return jnp.mean(acc)
 
@@ -65,11 +68,18 @@ def l1_loss(pred, gt, validity):
 
 
 def euclidean_loss(pred, gt, validity):
-    """Per-frame sqrt of the summed squared difference over feature dims."""
+    """Per-frame sqrt of the summed squared difference over feature dims.
+
+    Double-where guards the sqrt: at ssd == 0 (e.g. identical left/right
+    predictions on zero-padded frames) sqrt's VJP is inf, and even a zero
+    cotangent yields 0 * inf = NaN without the guard.
+    """
     ssd = jnp.sum(
         jnp.square(pred.astype(jnp.float32) - gt.astype(jnp.float32)),
         axis=_feature_axes(pred))
-    return masked_mean(jnp.sqrt(ssd), validity)
+    safe = jnp.where(ssd > 0.0, ssd, 1.0)
+    per_frame = jnp.where(ssd > 0.0, jnp.sqrt(safe), 0.0)
+    return masked_mean(per_frame, validity)
 
 
 def angular_loss(pred, gt, validity):

@@ -41,9 +41,20 @@ def pitchyaw_to_vector(a):
         ], axis=-1)
     elif a.shape[-1] == 3:
         # torch.nn.functional.normalize: x / max(||x||, eps), eps=1e-12
-        norm = jnp.linalg.norm(a, axis=-1, keepdims=True)
+        norm = _safe_norm(a, axis=-1, keepdims=True)
         return a / jnp.maximum(norm, 1e-12)
     raise ValueError('Cannot convert tensor of trailing dim %d' % a.shape[-1])
+
+
+def _safe_norm(a, axis=-1, keepdims=False, eps=1e-14):
+    """L2 norm with a finite gradient at ``a == 0``.
+
+    ``jnp.linalg.norm`` has a NaN VJP at exactly zero (0/0); padded frames
+    carry all-zero rotations/origins, so zero vectors DO occur on the loss
+    path. sqrt(sum(a^2) + eps) keeps the value within 1e-7 and the gradient
+    finite (zero) at the origin.
+    """
+    return jnp.sqrt(jnp.sum(jnp.square(a), axis=axis, keepdims=keepdims) + eps)
 
 
 def vector_to_pitchyaw(a):
@@ -52,7 +63,13 @@ def vector_to_pitchyaw(a):
         return a
     if a.shape[-1] != 3:
         raise ValueError('Cannot convert tensor of trailing dim %d' % a.shape[-1])
-    norm_a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-7)
+    # Zero vectors (padded frames) map to pitch/yaw (0, 0) like the
+    # reference's atan2(0, 0) — but atan2's VJP at (0, 0) is NaN, so swap
+    # in the frontal vector first (identical output, finite gradient).
+    sq = jnp.sum(jnp.square(a), axis=-1, keepdims=True)
+    frontal = jnp.zeros_like(a).at[..., 2].set(1.0)
+    a = jnp.where(sq > 1e-12, a, frontal)
+    norm_a = a / (_safe_norm(a, axis=-1, keepdims=True) + 1e-7)
     return jnp.stack([
         jnp.arcsin(norm_a[..., 1]),
         jnp.arctan2(norm_a[..., 0], norm_a[..., 2]),
@@ -223,10 +240,15 @@ def angular_error_degrees(a, b):
     """
     va = pitchyaw_to_vector(a) if a.shape[-1] == 2 else a
     vb = pitchyaw_to_vector(b) if b.shape[-1] == 2 else b
-    na = jnp.linalg.norm(va, axis=-1)
-    nb = jnp.linalg.norm(vb, axis=-1)
+    na = _safe_norm(va, axis=-1)
+    nb = _safe_norm(vb, axis=-1)
     dot = jnp.sum(va * vb, axis=-1)
     # torch cosine_similarity semantics: dot / max(|a|*|b|, eps)
     sim = dot / jnp.maximum(na * nb, 1e-8)
-    sim = jnp.clip(sim, -1.0 + 1e-8, 1.0 - 1e-8)
+    # The reference clamps to +-(1 - 1e-8) (hardtanh, src/losses/angular.py)
+    # but 1 - 1e-8 is NOT representable in float32 — it rounds to 1.0,
+    # leaving arccos' VJP infinite at sim == 1 (true at init: the zero-init
+    # gaze head makes pred == pred). 1 - 1e-7 is representable and keeps the
+    # clamp's intent (min reportable angle 0.026 deg vs 0.0081 deg).
+    sim = jnp.clip(sim, -1.0 + 1e-7, 1.0 - 1e-7)
     return jnp.degrees(jnp.arccos(sim))

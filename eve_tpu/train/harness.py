@@ -204,7 +204,17 @@ class Experiment:
             '%(asctime)s %(levelname)s %(message)s', '%d/%m %H:%M:%S'))
         logging.getLogger().addHandler(file_handler)
 
-        self.mesh = mesh_lib.make_mesh(config.tpu_num_devices)
+        # Mesh size must divide the global batch so clips shard evenly over
+        # the data axis; fall back to the largest divisor of batch_size.
+        n_avail = (config.tpu_num_devices if config.tpu_num_devices > 0
+                   else len(jax.devices()))
+        n_use = max(d for d in range(1, n_avail + 1)
+                    if config.batch_size % d == 0)
+        if n_use != n_avail:
+            logger.warning(
+                'batch_size=%d not divisible by %d devices; using a '
+                '%d-device data mesh.', config.batch_size, n_avail, n_use)
+        self.mesh = mesh_lib.make_mesh(n_use)
         self.gsheet_logger = GoogleSheetLogger(config, identifier)
         self.checkpoint_manager = CheckpointManager(
             output_dir, keep_n=config.checkpoints_keep_n)
@@ -232,8 +242,12 @@ class Experiment:
         return self
 
     def device_put_batch(self, device_batch):
-        if len(self.mesh.devices.flatten()) > 1:
-            return mesh_lib.shard_batch(self.mesh, device_batch)
+        n = len(self.mesh.devices.flatten())
+        if n > 1:
+            batch_dim = next(iter(device_batch.values())).shape[0]
+            if batch_dim % n == 0:
+                return mesh_lib.shard_batch(self.mesh, device_batch)
+            # Ragged final eval batches: run replicated on one device.
         return jax.device_put(device_batch)
 
 
@@ -261,7 +275,7 @@ def main_loop_iterator(exp, train_data, test_data):
     iterators = {}
 
     def next_batch(tag, data_dict):
-        while True:
+        for attempt in range(2):
             it = iterators.get(tag)
             if it is None:
                 it = iter(DevicePrefetcher(data_dict['dataloader'],
@@ -271,6 +285,10 @@ def main_loop_iterator(exp, train_data, test_data):
                 return next(it)
             except StopIteration:
                 iterators.pop(tag, None)
+        raise RuntimeError(
+            'Training dataloader %r yielded no batches (dataset of %d '
+            'entries with batch_size=%d, drop_last).'
+            % (tag, len(data_dict['dataset']), config.batch_size))
 
     profiling = False
     for current_step in range(exp.last_step, num_training_steps):

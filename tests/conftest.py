@@ -21,7 +21,20 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: the suite re-jits large models across many
 # test processes; caching cuts repeat runs from minutes to seconds.
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
+# The cache key includes the host CPU feature set: XLA:CPU AOT results
+# compiled on a different machine load with mismatched ISA features and can
+# produce garbage numerics (observed as NaNs), so never share across hosts.
+import hashlib  # noqa: E402
+
+try:
+    with open('/proc/cpuinfo') as f:
+        _cpu_sig = hashlib.md5(
+            ''.join(line for line in f if line.startswith('flags'))
+            .encode()).hexdigest()[:8]
+except OSError:
+    _cpu_sig = 'unknown'
+jax.config.update('jax_compilation_cache_dir',
+                  '/root/.cache/jax_test_cache_' + _cpu_sig)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import numpy as np  # noqa: E402

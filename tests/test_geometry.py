@@ -175,7 +175,7 @@ def test_angular_error_degrees():
     err = np.asarray(G.angular_error_degrees(a, b))
     np.testing.assert_allclose(err, [90.0], atol=1e-3)
     same = np.asarray(G.angular_error_degrees(a, a))
-    assert same[0] < 0.02  # clamped cosine keeps this finite, near zero
+    assert same[0] < 0.05  # f32-safe clamp floor is ~0.028 deg (see geometry.py)
 
 
 def test_batched_leading_dims(rng):

@@ -93,4 +93,4 @@ def test_angular_loss_degrees():
     gt = jnp.asarray([[[0.0, np.pi / 2], [0.0, 0.0]]])
     v = jnp.ones((1, 2))
     ours = float(L.angular_loss(pred, gt, v))
-    np.testing.assert_allclose(ours, 45.0, atol=0.01)  # (90 + ~0) / 2
+    np.testing.assert_allclose(ours, 45.0, atol=0.05)  # (90 + ~0.03) / 2
