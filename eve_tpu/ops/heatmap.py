@@ -152,13 +152,35 @@ def _pallas_ok():
 def make_heatmaps_fast(centres_px, sigma, heatmap_size=(HEATMAP_W, HEATMAP_H),
                        actual_screen_size=(SCREEN_W, SCREEN_H),
                        use_pallas=False):
-    """make_heatmaps with optional fused Pallas path on TPU."""
+    """make_heatmaps with optional fused Pallas path on TPU.
+
+    The Pallas kernel has no autodiff rule, so it is wrapped in a
+    ``custom_vjp`` whose backward pass differentiates the (numerically
+    identical) jnp formulation — training gets exact gradients while the
+    forward stays fused.
+    """
     if use_pallas and _pallas_ok():
         from eve_tpu.kernels.heatmap_kernels import pallas_make_heatmaps
         lead = centres_px.shape[:-1]
         flat = centres_px.reshape(-1, 2)
-        out = pallas_make_heatmaps(flat, sigma, heatmap_size,
-                                   actual_screen_size)
+
+        def jnp_render(c):
+            return make_heatmaps(c, sigma, heatmap_size, actual_screen_size)
+
+        @jax.custom_vjp
+        def render(c):
+            return pallas_make_heatmaps(c, sigma, heatmap_size,
+                                        actual_screen_size)
+
+        def render_fwd(c):
+            return render(c), c
+
+        def render_bwd(c, g):
+            _, vjp = jax.vjp(jnp_render, c)
+            return vjp(g)
+
+        render.defvjp(render_fwd, render_bwd)
+        out = render(flat)
         return out.reshape(lead + out.shape[1:])
     return make_heatmaps(centres_px, sigma, heatmap_size, actual_screen_size)
 
@@ -166,12 +188,32 @@ def make_heatmaps_fast(centres_px, sigma, heatmap_size=(HEATMAP_W, HEATMAP_H),
 def soft_argmax_fast(heatmaps, heatmap_size=(HEATMAP_W, HEATMAP_H),
                      actual_screen_size=(SCREEN_W, SCREEN_H),
                      beta=SOFTARGMAX_BETA, use_pallas=False):
-    """soft_argmax with optional fused Pallas path on TPU."""
+    """soft_argmax with optional fused Pallas path on TPU.
+
+    Same custom_vjp arrangement as ``make_heatmaps_fast``: Pallas forward,
+    jnp-derived backward.
+    """
     if use_pallas and _pallas_ok():
         from eve_tpu.kernels.heatmap_kernels import pallas_soft_argmax
         lead = heatmaps.shape[:-2]
         flat = heatmaps.reshape((-1,) + heatmaps.shape[-2:])
-        out = pallas_soft_argmax(flat.astype(jnp.float32), heatmap_size,
-                                 actual_screen_size, beta)
+
+        def jnp_sam(x):
+            return soft_argmax(x, heatmap_size, actual_screen_size, beta)
+
+        @jax.custom_vjp
+        def sam(x):
+            return pallas_soft_argmax(x.astype(jnp.float32), heatmap_size,
+                                      actual_screen_size, beta)
+
+        def sam_fwd(x):
+            return sam(x), x
+
+        def sam_bwd(x, g):
+            _, vjp = jax.vjp(jnp_sam, x)
+            return vjp(g)
+
+        sam.defvjp(sam_fwd, sam_bwd)
+        out = sam(flat)
         return out.reshape(lead + (2,))
     return soft_argmax(heatmaps, heatmap_size, actual_screen_size, beta)
