@@ -94,11 +94,25 @@ def cross_entropy_loss(pred, gt, validity):
 
     torch.nn.functional.binary_cross_entropy semantics: elementwise
     -(y log x + (1-y) log(1-x)) with log clamped at -100.
+
+    Saturated inputs need double-where guards: the rendered Gaussian peaks
+    at exactly 1.0 in float32 (and a sigmoid can emit exact 0/1), where
+    log's VJP is infinite — the -100 clamp fixes the value but not the
+    0 * inf = NaN cotangent. Deviation from torch: saturated pixels get
+    zero gradient here (torch clamps the denominator to 1e-12, producing
+    huge-but-clipped gradients instead).
     """
     x = pred.astype(jnp.float32)
     y = gt.astype(jnp.float32)
-    log_x = jnp.maximum(jnp.log(x), -100.0)
-    log_1mx = jnp.maximum(jnp.log1p(-x), -100.0)
+    pos = x > 0.0
+    log_x = jnp.where(pos,
+                      jnp.maximum(jnp.log(jnp.where(pos, x, 1.0)), -100.0),
+                      -100.0)
+    lt1 = x < 1.0
+    log_1mx = jnp.where(lt1,
+                        jnp.maximum(jnp.log1p(-jnp.where(lt1, x, 0.0)),
+                                    -100.0),
+                        -100.0)
     ce = -(y * log_x + (1.0 - y) * log_1mx)
     per_frame = jnp.mean(ce, axis=_feature_axes(ce))
     return masked_mean(per_frame, validity)

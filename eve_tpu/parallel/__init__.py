@@ -1,5 +1,5 @@
 """Device mesh construction and batch/param sharding helpers."""
 
 from eve_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, shard_batch, replicate, make_sharded_train_step,
+    make_mesh, shard_batch, replicate,
     is_primary_process, local_data_slice)

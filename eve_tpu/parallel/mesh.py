@@ -50,49 +50,6 @@ def replicate(mesh, tree):
         lambda x: jax.device_put(x, sharding), tree)
 
 
-def make_sharded_train_step(spec, tx, mesh, axis_name='data', donate=True):
-    """Data-parallel jitted train step.
-
-    The step function itself is identical to the single-chip one — XLA GSPMD
-    inserts the gradient all-reduce over ICI given batch inputs sharded on
-    the ``data`` axis and replicated state.
-    """
-    from eve_tpu.train.step import TrainState, make_train_step
-    import jax.numpy as jnp
-    from eve_tpu.models import eve as eve_lib
-
-    def loss_fn(params, batch, rng):
-        out = eve_lib.forward(spec, params, batch, rng=rng, training=True)
-        scalars = {k: v for k, v in out.items()
-                   if hasattr(v, 'ndim') and v.ndim == 0}
-        return out['full_loss'], scalars
-
-    def step_fn(state, batch, rng):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, scalars), grads = grad_fn(state.params, batch, rng)
-        updates, new_opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates)
-        metrics = dict(scalars)
-        metrics['nan_flag'] = jnp.any(jnp.stack(
-            [jnp.any(jnp.isnan(v)) for v in scalars.values()]))
-        return TrainState(step=state.step + 1, params=new_params,
-                          opt_state=new_opt_state), metrics
-
-    rep = replicated(mesh)
-    data = batch_sharding(mesh, axis_name)
-
-    def batch_shardings(batch_example):
-        return jax.tree_util.tree_map(lambda _: data, batch_example)
-
-    jitted = jax.jit(
-        step_fn,
-        donate_argnums=(0,) if donate else (),
-    )
-    return jitted
-
-
 def is_primary_process():
     return jax.process_index() == 0
 

@@ -311,6 +311,15 @@ def main_loop_iterator(exp, train_data, test_data):
             profiling = False
 
         images = {}
+        if config.load_screen_content and step_modulo(
+                current_step, config.tensorboard_images_every_n_steps):
+            if not hasattr(exp, 'image_step'):
+                exp.image_step = step_lib.make_eval_step(
+                    exp.spec, create_images=True)
+            from eve_tpu.train.logging_utils import compose_training_images
+            img_out = exp.image_step(exp.state.params, device_batch)
+            images = compose_training_images(
+                img_out, screen_size=tuple(config.screen_size))
         yield current_step, metrics, images
 
         if step_modulo(current_step, config.log_every_n_steps):

@@ -50,6 +50,55 @@ def make_grid(images, nrow=8, padding=2, normalize=False, scale_each=False):
     return grid
 
 
+def compose_training_images(outputs, screen_size=(128, 72)):
+    """Build the reference's TensorBoard composite images (host-side).
+
+    Reference behavior (src/train.py:69-115): when screen content is loaded,
+    log (a) per-sample vertical stacks [screen; screen*history; history] for
+    the initial and refined gaze-history maps (history bilinearly resized to
+    the screen frame and clamped to [0, 1]), and (b) normalized grids of the
+    GT/initial/final heatmaps, under the same tags.
+
+    Args:
+      outputs: numpy-convertible dict from a ``create_images=True`` forward.
+      screen_size: (W, H) of the logged screen frames.
+
+    Returns:
+      dict tag -> HWC float image.
+    """
+    import cv2
+
+    images = {}
+    sw, sh = screen_size
+
+    def _np(key):
+        return np.asarray(outputs[key])
+
+    if 'screen_frame' in outputs:
+        screen = _np('screen_frame')                       # (B, h, w, 3)
+        for name, key in (('initial', 'initial_gaze_history'),
+                          ('refined', 'refined_gaze_history')):
+            if key not in outputs:
+                continue
+            hist = np.clip(_np(key).astype(np.float32), 0.0, 1.0)  # (B, H, W)
+            hist = np.stack([cv2.resize(hm, (sw, sh),
+                                        interpolation=cv2.INTER_LINEAR)
+                             for hm in hist])
+            hist3 = np.repeat(hist[..., None], 3, axis=-1)
+            stacked = np.concatenate(
+                [screen, screen * hist3, hist3], axis=1)   # vconcat rows
+            images['train/screen_plus_%s_history' % name] = make_grid(
+                stacked, normalize=True, scale_each=True)
+
+    for tag, key in (('train/0_gt_heatmap', 'gt_heatmap'),
+                     ('train/1_initial_heatmap', 'initial_heatmap'),
+                     ('train/2_final_heatmap', 'final_heatmap')):
+        if key in outputs:
+            images[tag] = make_grid(_np(key).astype(np.float32),
+                                    normalize=True, scale_each=True)
+    return images
+
+
 class Tensorboard:
     """Step-stateful TB writer; singleton like the reference."""
 

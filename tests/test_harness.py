@@ -125,3 +125,32 @@ def test_make_grid():
     imgs = np.random.rand(5, 8, 10, 3).astype(np.float32)
     grid = make_grid(imgs, nrow=3, padding=1)
     assert grid.shape == ((8 + 1) * 2 + 1, (10 + 1) * 3 + 1, 3)
+
+
+def test_compose_training_images():
+    from eve_tpu.train.logging_utils import compose_training_images
+    rng = np.random.RandomState(0)
+    outputs = {
+        'screen_frame': rng.rand(2, 72, 128, 3).astype(np.float32),
+        'initial_gaze_history': rng.rand(2, 72, 128).astype(np.float32),
+        'refined_gaze_history': rng.rand(2, 72, 128).astype(np.float32),
+        'initial_heatmap': rng.rand(2, 72, 128).astype(np.float32),
+        'final_heatmap': rng.rand(2, 72, 128).astype(np.float32),
+        'gt_heatmap': rng.rand(2, 72, 128).astype(np.float32),
+    }
+    images = compose_training_images(outputs, screen_size=(128, 72))
+    assert set(images) == {
+        'train/screen_plus_initial_history',
+        'train/screen_plus_refined_history',
+        'train/0_gt_heatmap', 'train/1_initial_heatmap',
+        'train/2_final_heatmap'}
+    # Stacked overlay: 3 rows of 72px per sample + grid padding
+    grid = images['train/screen_plus_initial_history']
+    assert grid.ndim == 3 and grid.shape[-1] == 3
+    assert grid.shape[0] >= 3 * 72
+    assert float(grid.max()) <= 1.0 + 1e-6
+
+    # Without screen content, only heatmap grids are emitted.
+    images = compose_training_images(
+        {'initial_heatmap': outputs['initial_heatmap']})
+    assert set(images) == {'train/1_initial_heatmap'}

@@ -1,0 +1,102 @@
+"""Mesh / sharding tests on the 8-device virtual CPU mesh.
+
+Covers the data-parallel layout the framework trains with (SURVEY.md
+section 2.3): batch sharded over the ``data`` axis, state replicated,
+gradients all-reduced by GSPMD — verified numerically against a
+single-device step — plus the multi-host input-sharding helper.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eve_tpu.config import DefaultConfig
+from eve_tpu.data.synthetic import make_synthetic_batch
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.parallel import mesh as mesh_lib
+from eve_tpu.train import optim as optim_lib
+from eve_tpu.train import step as step_lib
+
+
+def test_make_mesh_sizes():
+    mesh = mesh_lib.make_mesh()
+    assert len(mesh.devices.flatten()) == len(jax.devices())
+    mesh2 = mesh_lib.make_mesh(num_devices=2)
+    assert len(mesh2.devices.flatten()) == 2
+    assert mesh2.axis_names == ('data',)
+
+
+def test_shard_batch_layout():
+    mesh = mesh_lib.make_mesh(num_devices=4)
+    batch = {'x': jnp.zeros((8, 3, 5)), 'y': jnp.zeros((8,))}
+    sharded = mesh_lib.shard_batch(mesh, batch)
+    for v in sharded.values():
+        assert len(v.sharding.device_set) == 4
+        # Batch axis split: each shard holds B/4 rows.
+        shard_shapes = {s.data.shape for s in v.addressable_shards}
+        assert all(shape[0] == 2 for shape in shard_shapes)
+
+    params = {'w': jnp.ones((3, 3))}
+    rep = mesh_lib.replicate(mesh, params)
+    assert len(rep['w'].sharding.device_set) == 4
+    assert all(s.data.shape == (3, 3) for s in rep['w'].addressable_shards)
+
+
+def test_local_data_slice_partitions_everything():
+    n = 103
+    seen = []
+    for pi in range(8):
+        sl = mesh_lib.local_data_slice(n, process_index=pi, process_count=8)
+        seen.extend(range(n)[sl])
+    assert sorted(seen) == list(range(n))
+
+
+@pytest.fixture
+def tiny_spec():
+    DefaultConfig._reset_instance_for_testing()
+    cfg = DefaultConfig()
+    cfg.import_dict({'refine_net_enabled': False,
+                     'load_screen_content': False})
+    yield eve_lib.EveSpec.from_config(cfg), cfg
+    DefaultConfig._reset_instance_for_testing()
+
+
+def test_sharded_step_matches_single_device(tiny_spec):
+    """One DP step over 4 devices == the same step on one device."""
+    spec, cfg = tiny_spec
+    tx, _ = optim_lib.build_optimizer(cfg, steps_per_epoch=10)
+    state = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = make_synthetic_batch(rng, batch_size=4, sequence_len=2,
+                                 eyes_size=32, with_screen=False)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    step_rng = jax.random.PRNGKey(1)
+
+    train_step = step_lib.make_train_step(spec, tx, donate=False)
+    _, metrics_single = train_step(state, batch, step_rng)
+
+    mesh = mesh_lib.make_mesh(num_devices=4)
+    sharded_state = state.replace(
+        params=mesh_lib.replicate(mesh, state.params),
+        opt_state=mesh_lib.replicate(mesh, state.opt_state))
+    sharded_batch = mesh_lib.shard_batch(mesh, batch)
+    new_state, metrics_sharded = train_step(sharded_state, sharded_batch,
+                                            step_rng)
+
+    # Loss and gradient statistics agree across layouts (CPU float32;
+    # reduction-order differences stay tiny at these sizes).
+    np.testing.assert_allclose(float(metrics_single['full_loss']),
+                               float(metrics_sharded['full_loss']),
+                               rtol=1e-5)
+    for k in metrics_single:
+        if k == 'nan_flag':
+            continue
+        np.testing.assert_allclose(float(metrics_single[k]),
+                                   float(metrics_sharded[k]), rtol=1e-4,
+                                   err_msg=k)
+    assert not bool(metrics_sharded['nan_flag'])
+    # Updated params stay replicated (GSPMD all-reduced the grads).
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) == 4

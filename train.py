@@ -35,10 +35,10 @@ def main():
 
     for current_step, metrics, images in harness.main_loop_iterator(
             exp, train_data, test_data):
-        if harness.step_modulo(current_step,
-                               config.tensorboard_images_every_n_steps):
-            for tag, img in images.items():
-                exp.tensorboard.add_image(tag, img)
+        # Composite images (screen+history overlays, heatmap grids) arrive
+        # every tensorboard_images_every_n_steps; cadence is harness-side.
+        for tag, img in images.items():
+            exp.tensorboard.add_image(tag, img)
 
     harness.do_final_full_test(exp, test_data)
     harness.cleanup_and_quit(exp, train_data, test_data)
