@@ -32,6 +32,10 @@ def main():
     parser.add_argument('--no-baseline', action='store_true')
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--input-dtype', default='uint8',
+                        choices=['float32', 'uint8'],
+                        help='uint8 = on-device normalization '
+                             '(tpu_on_device_preprocess path)')
     args = parser.parse_args()
 
     import jax
@@ -45,8 +49,9 @@ def main():
         use_pallas=not args.no_pallas)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
-    batch = make_synthetic_batch(rng, batch_size=args.batch,
-                                 sequence_len=args.seq, eyes_size=128)
+    batch = make_synthetic_batch(
+        rng, batch_size=args.batch, sequence_len=args.seq, eyes_size=128,
+        frame_dtype=np.uint8 if args.input_dtype == 'uint8' else np.float32)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
 
     @jax.jit

@@ -163,6 +163,11 @@ class DefaultConfig(object):
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
 
+    # Ship uint8 frames to the device and normalize there (XLA-resident
+    # preprocessing): 4x less host->device traffic and less HBM read at the
+    # model entry. Off = reference-style host float32 normalization.
+    tpu_on_device_preprocess = False
+
     # Directory for jax.profiler traces ('' disables).
     profile_dir = ''
 

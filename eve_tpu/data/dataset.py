@@ -156,15 +156,25 @@ class EVESequencesBase:
 
         subentry['timestamps'] = np.asarray(timestamps, np.int64)
         use_native = getattr(cfg, 'use_native_framepack', True)
+        device_prep = getattr(cfg, 'tpu_on_device_preprocess', False)
         if source == 'screen':
-            from eve_tpu.data.framepack import pack_screen_frames
-            subentry['frame'] = pack_screen_frames(frames,
-                                                   use_native=use_native)
+            if device_prep:
+                subentry['frame'] = np.ascontiguousarray(frames)
+            else:
+                from eve_tpu.data.framepack import pack_screen_frames
+                subentry['frame'] = pack_screen_frames(frames,
+                                                       use_native=use_native)
         elif cfg.camera_frame_type == 'eyes':
-            from eve_tpu.data.framepack import pack_eye_frames
-            left, right = pack_eye_frames(frames, use_native=use_native)
+            if device_prep:
+                from eve_tpu.data.framepack import split_eye_frames_u8
+                left, right = split_eye_frames_u8(frames)
+            else:
+                from eve_tpu.data.framepack import pack_eye_frames
+                left, right = pack_eye_frames(frames, use_native=use_native)
             subentry['left_eye_patch'] = left
             subentry['right_eye_patch'] = right
+        elif device_prep:
+            subentry['frame'] = np.ascontiguousarray(frames)
         else:
             subentry['frame'] = preprocess_frames(frames)
 

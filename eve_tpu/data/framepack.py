@@ -85,6 +85,20 @@ def pack_eye_frames(frames, use_native=True):
             np.ascontiguousarray(scaled[:, :, :half, :]))
 
 
+def split_eye_frames_u8(frames):
+    """uint8 (N, H, W, 3) eye strip -> (left, right) uint8 patches.
+
+    Same split as ``pack_eye_frames`` but WITHOUT normalization — for the
+    on-device preprocessing path (``tpu_on_device_preprocess``), where the
+    `*2/255-1` scaling runs inside the jitted model and the host ships 4x
+    fewer bytes.
+    """
+    frames = np.ascontiguousarray(frames)
+    half = frames.shape[2] // 2
+    return (np.ascontiguousarray(frames[:, :, half:, :]),
+            np.ascontiguousarray(frames[:, :, :half, :]))
+
+
 def pack_screen_frames(frames, use_native=True):
     """uint8 (N, H, W, 3) -> float32 NHWC in [0, 1]."""
     frames = np.ascontiguousarray(frames)

@@ -30,25 +30,39 @@ def _rotation_np(pitchyaw):
 
 def make_synthetic_batch(rng, batch_size=2, sequence_len=4, eyes_size=64,
                          screen_size=(128, 72), with_screen=True,
-                         with_gt=True, fps=30.0):
+                         with_gt=True, fps=30.0, frame_dtype=np.float32):
     """Build a geometry-consistent (B, T, ...) input batch (numpy, NHWC).
 
     The ground-truth gazes are derived from sampled screen points through
     ``calculate_combined_gaze_direction``, so a perfect gaze estimator
     projects back onto those points exactly.
+
+    ``frame_dtype=np.uint8`` emits raw camera/screen bytes for the
+    on-device-preprocessing path (tpu_on_device_preprocess).
     """
     B, T = batch_size, sequence_len
     mm_w, mm_h = 530.0, 300.0  # physical screen size (mm)
     ppm = np.array([1920.0 / mm_w, 1080.0 / mm_h], np.float32)
 
     batch = {}
-    batch['left_eye_patch'] = rng.uniform(
-        -1, 1, (B, T, eyes_size, eyes_size, 3)).astype(np.float32)
-    batch['right_eye_patch'] = rng.uniform(
-        -1, 1, (B, T, eyes_size, eyes_size, 3)).astype(np.float32)
-    if with_screen:
-        batch['screen_frame'] = rng.uniform(
-            0, 1, (B, T, screen_size[1], screen_size[0], 3)).astype(np.float32)
+    if frame_dtype == np.uint8:
+        batch['left_eye_patch'] = rng.randint(
+            0, 256, (B, T, eyes_size, eyes_size, 3)).astype(np.uint8)
+        batch['right_eye_patch'] = rng.randint(
+            0, 256, (B, T, eyes_size, eyes_size, 3)).astype(np.uint8)
+        if with_screen:
+            batch['screen_frame'] = rng.randint(
+                0, 256, (B, T, screen_size[1], screen_size[0], 3)
+            ).astype(np.uint8)
+    else:
+        batch['left_eye_patch'] = rng.uniform(
+            -1, 1, (B, T, eyes_size, eyes_size, 3)).astype(np.float32)
+        batch['right_eye_patch'] = rng.uniform(
+            -1, 1, (B, T, eyes_size, eyes_size, 3)).astype(np.float32)
+        if with_screen:
+            batch['screen_frame'] = rng.uniform(
+                0, 1, (B, T, screen_size[1], screen_size[0], 3)
+            ).astype(np.float32)
 
     # Camera rig: camera-space -> screen-space homogeneous transform.
     cam_T = np.tile(np.eye(4, dtype=np.float32), (B, T, 1, 1))

@@ -146,6 +146,25 @@ class EveSpec:
         )
 
 
+def _to_compute(x, dtype):
+    """Cast a camera frame tensor to the compute dtype.
+
+    uint8 inputs (the ``tpu_on_device_preprocess`` path) get the reference's
+    host normalization ``*2/255-1`` applied here instead — fused by XLA into
+    the cast, so the f32 image is never materialized in HBM.
+    """
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) * (2.0 / 255.0) - 1.0).astype(dtype)
+    return x.astype(dtype)
+
+
+def _screen_to_float(x):
+    """Screen frames: uint8 -> [0, 1] float32 on device, else pass through."""
+    if x is not None and x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x
+
+
 def init_params(spec: EveSpec, rng):
     """Initialize the parameter pytree {'eye_net': ..., 'refine_net': ...}."""
     k1, k2 = jax.random.split(rng)
@@ -300,9 +319,16 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
     nf = spec.eye_net_num_features
 
     # --- Stage 1: CNN features for all frames and both eyes, one batch ---
+    # Cast to the compute dtype BEFORE the concat: the (2*B*T, H, W, 3)
+    # stack is a real HBM copy, and eye patches arrive as float32 (or uint8)
+    # from the host — concatenating in bf16 halves that traffic (the model
+    # is HBM-bandwidth bound; see bench cost analysis).
+    cdt = spec.dtype
     patches = jnp.concatenate([
-        full['left_eye_patch'].reshape((B * T,) + left.shape[2:]),
-        full['right_eye_patch'].reshape((B * T,) + left.shape[2:]),
+        _to_compute(full['left_eye_patch'], cdt).reshape(
+            (B * T,) + left.shape[2:]),
+        _to_compute(full['right_eye_patch'], cdt).reshape(
+            (B * T,) + left.shape[2:]),
     ], axis=0)
     if spec.eye_net_use_head_pose_input:
         head_pose = jnp.concatenate([
@@ -383,7 +409,8 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
     # --- Stages 4-6: RefineNet (batched encoder/decoder, scanned cell) ---
     if refine_net is not None and 'heatmap_initial' in interm:
         rn_params = {'params': params['refine_net']}
-        screen = full.get('screen_frame') if spec.load_screen_content else None
+        screen = (_screen_to_float(full.get('screen_frame'))
+                  if spec.load_screen_content else None)
         net_in = refine_net.apply(
             rn_params, interm['heatmap_initial'], screen,
             screen_size=spec.screen_size, method=RefineNet.assemble_input)
@@ -459,7 +486,8 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
 
     if create_images:
         if spec.load_screen_content and 'screen_frame' in full:
-            output['screen_frame'] = full['screen_frame'][:, -1]
+            output['screen_frame'] = _screen_to_float(
+                full['screen_frame'][:, -1])
         if 'history_initial' in interm:
             output['initial_gaze_history'] = interm['history_initial'][:, -1]
         if 'heatmap_initial' in interm:

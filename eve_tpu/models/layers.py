@@ -30,12 +30,15 @@ def instance_norm(x, weight=None, bias=None, eps=1e-5):
     """InstanceNorm2d over NHWC input (normalize per-sample, per-channel).
 
     Matches ``torch.nn.InstanceNorm2d`` (biased variance, no running stats).
-    Statistics are computed in float32 regardless of input dtype.
+    Statistics accumulate in float32 regardless of input dtype (the bf16
+    stability island, SURVEY.md section 7 item 5) via reduction dtype — the
+    tensor itself is never materialized in f32, saving an HBM round trip in
+    bf16 models; the elementwise normalization runs in the input dtype.
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(-3, -2), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True, dtype=jnp.float32)
+    xc = x.astype(jnp.float32) - mean
+    var = jnp.mean(jnp.square(xc), axis=(-3, -2), keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
     if weight is not None:
         y = y * weight
     if bias is not None:

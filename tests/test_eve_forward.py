@@ -147,3 +147,34 @@ def test_gt_gaze_projects_back_to_gt_pog(setup):
     np.testing.assert_allclose(np.asarray(res['PoG_px']),
                                np.asarray(batch['left_PoG_tobii']),
                                atol=1.5)
+
+
+def test_uint8_on_device_preprocess_matches_host_path():
+    """uint8 inputs + on-device normalize == host-normalized f32 inputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.data.synthetic import make_synthetic_batch
+    from eve_tpu.models import eve as eve_lib
+
+    spec = eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(3)
+    b_u8 = make_synthetic_batch(rng, batch_size=2, sequence_len=2,
+                                eyes_size=32, frame_dtype=np.uint8)
+    b_f32 = dict(b_u8)
+    for k in ('left_eye_patch', 'right_eye_patch'):
+        b_f32[k] = b_u8[k].astype(np.float32) * (2.0 / 255.0) - 1.0
+    b_f32['screen_frame'] = b_u8['screen_frame'].astype(np.float32) / 255.0
+
+    out_u8 = eve_lib.forward(spec, params,
+                             {k: jnp.asarray(v) for k, v in b_u8.items()},
+                             training=False, output_predictions=True)
+    out_f32 = eve_lib.forward(spec, params,
+                              {k: jnp.asarray(v) for k, v in b_f32.items()},
+                              training=False, output_predictions=True)
+    for key in ('PoG_px_initial', 'PoG_px_final', 'left_pupil_size'):
+        np.testing.assert_allclose(np.asarray(out_u8[key]),
+                                   np.asarray(out_f32[key]),
+                                   rtol=1e-4, atol=1e-3, err_msg=key)
