@@ -43,7 +43,9 @@ def main():
             screens = inputs['screen_full_frame']  # (B, T, H, W, 3) RGB uint8
         else:
             import cv2
-            sf = (np.asarray(inputs['screen_frame']) * 255).astype(np.uint8)
+            sf = np.asarray(inputs['screen_frame'])
+            if sf.dtype != np.uint8:  # host-normalized [0, 1] floats
+                sf = (sf * 255).astype(np.uint8)
             screens = np.stack([
                 np.stack([cv2.resize(f, (1920, 1080)) for f in clip])
                 for clip in sf])
@@ -53,7 +55,10 @@ def main():
             le = np.asarray(inputs['left_eye_patch'])
             re = np.asarray(inputs['right_eye_patch'])
             strip = np.concatenate([re, le], axis=3)  # (B, T, H, 2W, 3)
-            eyes = ((strip + 1.0) * (255.0 / 2.0)).astype(np.uint8)
+            if strip.dtype == np.uint8:
+                eyes = strip
+            else:  # host-normalized [-1, 1] floats
+                eyes = ((strip + 1.0) * (255.0 / 2.0)).astype(np.uint8)
 
         for index in range(num_entries):
             to_draw = [('Initial Estimate', all_PoG_init[index],

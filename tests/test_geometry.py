@@ -188,3 +188,32 @@ def test_batched_leading_dims(rng):
     R = np.asarray(G.pitchyaw_to_rotation(jnp.asarray(a)))
     Rf = np.asarray(G.pitchyaw_to_rotation(jnp.asarray(a.reshape(-1, 2))))
     np.testing.assert_allclose(R.reshape(-1, 3, 3), Rf, atol=1e-7)
+
+
+def test_numpy_gaze_twin_matches_device_ops():
+    """Offline numpy helpers agree with the device ops on angular error.
+
+    The two reference twins differ by a y-sign in the 3D convention
+    (src/core/gaze.py:38 vs src/models/common.py:36); angular error is
+    invariant to the consistent flip, so the numbers must match.
+    """
+    from eve_tpu.utils import gaze_np
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1.0, 1.0, (16, 2)).astype(np.float32)
+    b = rng.uniform(-1.0, 1.0, (16, 2)).astype(np.float32)
+    ours_np = gaze_np.angular_error(a, b)
+    ours_dev = np.asarray(G.angular_error_degrees(
+        jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours_np, ours_dev, rtol=1e-3, atol=1e-3)
+
+    # Round trip in the numpy twin's own convention
+    v = gaze_np.pitchyaw_to_vector(a)
+    back = gaze_np.vector_to_pitchyaw(v)
+    np.testing.assert_allclose(back, a, atol=1e-5)
+
+    # gaussian_2d peaks at the centre with value 1
+    hm = gaze_np.gaussian_2d((31, 41), centre=(20, 15), sigma=3.0)
+    assert hm.shape == (31, 41)
+    assert hm.max() == 1.0
+    ij = np.unravel_index(hm.argmax(), hm.shape)
+    assert abs(ij[1] - 20) <= 1 and abs(ij[0] - 15) <= 1
