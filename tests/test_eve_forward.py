@@ -178,3 +178,35 @@ def test_uint8_on_device_preprocess_matches_host_path():
         np.testing.assert_allclose(np.asarray(out_u8[key]),
                                    np.asarray(out_f32[key]),
                                    rtol=1e-4, atol=1e-3, err_msg=key)
+
+
+@pytest.mark.parametrize('eye_rnn,refine_rnn,carry_only', [
+    ('LSTM', 'CLSTM', True),    # shipped refine_net.json configuration
+    ('LSTM', 'CLSTM', False),   # intended (non-quirk) CLSTM behavior
+    ('RNN', 'CRNN', True),
+])
+def test_forward_rnn_variants(eye_rnn, refine_rnn, carry_only):
+    """All cell-type combinations run and produce finite train gradients."""
+    import jax
+    from eve_tpu.data.synthetic import make_synthetic_batch
+
+    spec = eve_lib.EveSpec(
+        eye_net_rnn_type=eye_rnn, refine_net_rnn_type=refine_rnn,
+        clstm_carry_only=carry_only,
+        refine_net_enabled=True, load_screen_content=True)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    rng_np = np.random.RandomState(0)
+    batch = make_synthetic_batch(rng_np, batch_size=2, sequence_len=3,
+                                 eyes_size=32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss(p):
+        out = eve_lib.forward(spec, p, batch, rng=jax.random.PRNGKey(1),
+                              training=True)
+        return out['full_loss']
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    finite = all(np.all(np.isfinite(np.asarray(g)))
+                 for g in jax.tree_util.tree_leaves(grads))
+    assert finite
