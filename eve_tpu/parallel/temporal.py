@@ -1,0 +1,97 @@
+"""Temporal (sequence) sharding: a distributed ``lax.scan`` over a mesh axis.
+
+The reference processes the T axis with a serial Python loop on one GPU
+(src/models/eve.py:91). The TPU build expresses recurrence as ``lax.scan``;
+for clips longer than one chip's HBM the scan itself can be distributed:
+shard the T axis over a ``seq`` mesh axis, run each shard's local scan in
+turn, and hand the carry to the next shard over ICI (``ppermute``). The
+carry is tiny — per sample a 128-float GRU vector per eye plus a 5x8x64
+ConvGRU state (SURVEY.md section 5.7) — so the handoff is latency-, not
+bandwidth-, bound.
+
+The recurrent chain itself stays sequential (a GRU admits no associative
+reformulation), so ``sharded_scan`` is a *memory/feed-forward* scaling tool:
+everything outside the scan (CNN features, heatmap rendering, the refine
+pyramid — the bulk of the FLOPs) shards freely over the same axis, and only
+the millisecond-scale cell chain serializes across shards.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
+    """Distributed equivalent of ``lax.scan(step_fn, init_carry, xs)``.
+
+    Args:
+      step_fn: (carry, x_t) -> (carry, y_t), same contract as ``lax.scan``.
+      init_carry: carry pytree (replicated across the mesh).
+      xs: pytree of (T, ...) arrays; T must divide by the mesh axis size.
+      mesh: ``jax.sharding.Mesh`` containing ``axis_name``.
+      axis_name: mesh axis to shard T over.
+
+    Returns:
+      (final_carry, ys) — identical values to the single-device scan, with
+      ys sharded over T on ``axis_name`` and the final carry replicated.
+    """
+    n = mesh.shape[axis_name]
+    T = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    assert T % n == 0, 'sequence length %d not divisible by %d shards' % (T, n)
+
+    # Output types of the reference scan (global shapes).
+    carry_shapes, ys_shapes = jax.eval_shape(
+        lambda c, x: lax.scan(step_fn, c, x), init_carry, xs)
+    del carry_shapes
+
+    seq_spec = lambda x: P(axis_name, *([None] * (x.ndim - 1)))
+    xs_spec = jax.tree_util.tree_map(seq_spec, xs)
+    ys_spec = jax.tree_util.tree_map(seq_spec, ys_shapes)
+    carry_spec = jax.tree_util.tree_map(lambda _: P(), init_carry)
+    fwd_perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local_fn(carry0, xs_local):
+        idx = lax.axis_index(axis_name)
+
+        local_ys_shapes = jax.eval_shape(
+            lambda c, x: lax.scan(step_fn, c, x), carry0, xs_local)[1]
+        ys = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), local_ys_shapes)
+
+        def run(operand):
+            c, _ = operand
+            return lax.scan(step_fn, c, xs_local)
+
+        def skip(operand):
+            return operand
+
+        carry = carry0
+        for r in range(n):
+            carry, ys = lax.cond(idx == r, run, skip, (carry, ys))
+            if r < n - 1:
+                # Shift carries one shard forward: shard r+1 receives the
+                # carry shard r just produced (other shards forward stale
+                # values that no later round reads).
+                carry = jax.tree_util.tree_map(
+                    lambda c: lax.ppermute(c, axis_name, fwd_perm), carry)
+
+        # The true final carry lives on the last shard; make it replicated
+        # by masking everyone else to zero and all-reducing.
+        last = (idx == n - 1)
+
+        def replicate_from_last(c):
+            mask = last.astype(c.dtype)
+            shape = (1,) * c.ndim
+            return lax.psum(c * mask.reshape(shape), axis_name)
+
+        carry = jax.tree_util.tree_map(replicate_from_last, carry)
+        return carry, ys
+
+    mapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(carry_spec, xs_spec),
+        out_specs=(carry_spec, ys_spec),
+        check_rep=False)
+    return mapped(init_carry, xs)
