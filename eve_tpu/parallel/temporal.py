@@ -93,5 +93,5 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
         local_fn, mesh=mesh,
         in_specs=(carry_spec, xs_spec),
         out_specs=(carry_spec, ys_spec),
-        check_rep=False)
+        check_vma=False)
     return mapped(init_carry, xs)
