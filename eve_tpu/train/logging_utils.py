@@ -153,6 +153,32 @@ class Tensorboard:
     def add_grid(self, tag, values):
         self.add_image(tag, make_grid(np.asarray(values)))
 
+    def add_graph(self, fn, *example_args):
+        """Log a jitted function's structure (reference logs a torch graph).
+
+        Writes the jaxpr and the optimized HLO module to text files in the
+        run directory and mirrors the jaxpr into TensorBoard as text.
+        """
+        try:
+            import jax
+            jaxpr = jax.make_jaxpr(fn)(*example_args)
+            path = os.path.join(self.output_dir, 'model_jaxpr.txt')
+            with open(path, 'w') as f:
+                f.write(str(jaxpr))
+            try:
+                hlo = jax.jit(fn).lower(*example_args).as_text()
+                with open(os.path.join(self.output_dir,
+                                       'model_hlo.txt'), 'w') as f:
+                    f.write(hlo)
+            except Exception:  # pragma: no cover - lowering is best-effort
+                pass
+            if self._writer is not None:
+                text = str(jaxpr)
+                self._writer.add_text('model/jaxpr',
+                                      text[:100000], self.current_step)
+        except Exception as e:  # pragma: no cover
+            logger.warning('add_graph failed: %s', e)
+
     def close(self):
         if self._writer is not None:
             self._writer.close()

@@ -154,3 +154,13 @@ def test_compose_training_images():
     images = compose_training_images(
         {'initial_heatmap': outputs['initial_heatmap']})
     assert set(images) == {'train/1_initial_heatmap'}
+
+
+def test_tensorboard_add_graph(tmp_path):
+    import jax.numpy as jnp
+    Tensorboard._reset_for_testing()
+    tb = Tensorboard(str(tmp_path))
+    tb.add_graph(lambda x: jnp.sum(x * 2.0), jnp.ones((3,)))
+    assert os.path.isfile(os.path.join(str(tmp_path), 'model_jaxpr.txt'))
+    tb.close()
+    Tensorboard._reset_for_testing()
