@@ -294,7 +294,8 @@ def g_to_pog(spec: EveSpec, full, g_left, g_right, with_heatmap=True):
 # ----------------------------------------------------------------------
 
 def forward(spec: EveSpec, params, batch, rng=None, training=False,
-            output_predictions=False, create_images=False):
+            output_predictions=False, create_images=False,
+            seq_mesh=None, seq_axis='seq'):
     """Full EVE forward over a (B, T, ...) clip batch.
 
     Args:
@@ -302,10 +303,21 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
       batch: input dict (NHWC images); see data layer for keys.
       rng: PRNG key, required when training with offset augmentation.
       training: enables kappa offset augmentation and *_unaugmented branches.
+      seq_mesh: optional ``jax.sharding.Mesh`` with ``seq_axis`` — shards the
+        temporal recurrences over that axis via ``sharded_scan`` (carry
+        handoff over ICI); all batched (B*T) stages then shard over the same
+        axis under GSPMD. T must divide by the axis size.
 
     Returns an output dict of losses, metrics and (optionally) predictions,
     with key names matching the reference.
     """
+    if seq_mesh is not None:
+        from eve_tpu.parallel.temporal import sharded_scan as _sscan
+
+        def _scan(step, init, xs):
+            return _sscan(step, init, xs, seq_mesh, axis_name=seq_axis)
+    else:
+        _scan = jax.lax.scan
     eye_net = spec.build_eye_net()
     refine_net = spec.build_refine_net()
     eye_params = {'params': params['eye_net']}
@@ -354,7 +366,7 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
             return (nsl, nsr), (ol, onr)
 
         init_states = (eye_net.init_state(B), eye_net.init_state(B))
-        _, (out_l, out_r) = jax.lax.scan(
+        _, (out_l, out_r) = _scan(
             gru_step, init_states,
             (jnp.moveaxis(feats_l, 1, 0), jnp.moveaxis(feats_r, 1, 0)))
         rnn_l = jnp.moveaxis(out_l, 0, 1)
@@ -427,7 +439,7 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
                 return new_carry, out
 
             init = refine_net.init_state(B)
-            _, scanned = jax.lax.scan(
+            _, scanned = _scan(
                 cell_step, init, jnp.moveaxis(bottleneck_bt, 1, 0))
             bottleneck_out = jnp.moveaxis(scanned, 0, 1).reshape(
                 (B * T,) + bt_shape)

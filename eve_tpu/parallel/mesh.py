@@ -28,6 +28,24 @@ def make_mesh(num_devices=0, axis_name='data', devices=None):
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_nd(axis_sizes, devices=None):
+    """Mesh with multiple named axes, e.g. {'data': 4, 'seq': 2}.
+
+    Used for combined data + sequence parallelism: clips shard over
+    ``data`` while the temporal recurrences shard over ``seq``
+    (eve_tpu/parallel/temporal.py).
+    """
+    if devices is None:
+        devices = jax.devices()
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes[n] for n in names)
+    total = int(np.prod(sizes))
+    assert len(devices) >= total, (
+        'need %d devices for mesh %r, have %d'
+        % (total, axis_sizes, len(devices)))
+    return Mesh(np.array(devices[:total]).reshape(sizes), names)
+
+
 def batch_sharding(mesh, axis_name='data'):
     return NamedSharding(mesh, P(axis_name))
 

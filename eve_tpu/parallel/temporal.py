@@ -41,6 +41,13 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
     T = jax.tree_util.tree_leaves(xs)[0].shape[0]
     assert T % n == 0, 'sequence length %d not divisible by %d shards' % (T, n)
 
+    # step_fn typically closes over parameters; arrays captured by a
+    # closure keep their (auto-mesh) shardings and clash with the manual
+    # shard_map context. closure_convert lifts them into explicit inputs
+    # that we pass through shard_map as replicated operands.
+    x0 = jax.tree_util.tree_map(lambda a: a[0], xs)
+    converted_step, consts = jax.closure_convert(step_fn, init_carry, x0)
+
     # Output types of the reference scan (global shapes).
     carry_shapes, ys_shapes = jax.eval_shape(
         lambda c, x: lax.scan(step_fn, c, x), init_carry, xs)
@@ -52,17 +59,20 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
     carry_spec = jax.tree_util.tree_map(lambda _: P(), init_carry)
     fwd_perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def local_fn(carry0, xs_local):
+    def local_fn(carry0, xs_local, *consts_in):
         idx = lax.axis_index(axis_name)
 
+        def local_step(c, x):
+            return converted_step(c, x, *consts_in)
+
         local_ys_shapes = jax.eval_shape(
-            lambda c, x: lax.scan(step_fn, c, x), carry0, xs_local)[1]
+            lambda c, x: lax.scan(local_step, c, x), carry0, xs_local)[1]
         ys = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), local_ys_shapes)
 
         def run(operand):
             c, _ = operand
-            return lax.scan(step_fn, c, xs_local)
+            return lax.scan(local_step, c, xs_local)
 
         def skip(operand):
             return operand
@@ -89,9 +99,10 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
         carry = jax.tree_util.tree_map(replicate_from_last, carry)
         return carry, ys
 
+    consts_spec = tuple(P() for _ in consts)
     mapped = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(carry_spec, xs_spec),
+        in_specs=(carry_spec, xs_spec) + consts_spec,
         out_specs=(carry_spec, ys_spec),
         check_vma=False)
-    return mapped(init_carry, xs)
+    return mapped(init_carry, xs, *consts)

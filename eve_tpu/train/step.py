@@ -30,16 +30,18 @@ def create_train_state(spec, tx, rng):
                       opt_state=tx.init(params))
 
 
-def make_train_step(spec, tx, donate=True):
+def make_train_step(spec, tx, donate=True, seq_mesh=None):
     """Build the jitted train step.
 
     Returns fn(state, batch, rng) -> (new_state, metrics) where metrics
     contains every 0-dim output (losses + metrics, reference naming), plus
-    ``full_loss`` and ``nan_flag``.
+    ``full_loss`` and ``nan_flag``. ``seq_mesh`` enables temporal sharding
+    of the recurrences (see eve_tpu/parallel/temporal.py).
     """
 
     def loss_fn(params, batch, rng):
-        out = eve_lib.forward(spec, params, batch, rng=rng, training=True)
+        out = eve_lib.forward(spec, params, batch, rng=rng, training=True,
+                              seq_mesh=seq_mesh)
         scalars = {k: v for k, v in out.items()
                    if hasattr(v, 'ndim') and v.ndim == 0}
         return out['full_loss'], scalars
@@ -62,12 +64,14 @@ def make_train_step(spec, tx, donate=True):
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
-def make_eval_step(spec, output_predictions=False, create_images=False):
+def make_eval_step(spec, output_predictions=False, create_images=False,
+                   seq_mesh=None):
     """Build the jitted eval step: fn(params, batch) -> output dict."""
 
     def eval_fn(params, batch):
         return eve_lib.forward(spec, params, batch, training=False,
                                output_predictions=output_predictions,
-                               create_images=create_images)
+                               create_images=create_images,
+                               seq_mesh=seq_mesh)
 
     return jax.jit(eval_fn)

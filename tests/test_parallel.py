@@ -161,3 +161,41 @@ def test_sharded_scan_under_jit_and_grad():
     g = jax.grad(total)(xs)
     g_ref = jax.grad(total_ref)(xs)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
+
+
+def test_data_and_sequence_parallel_train_step(tiny_spec):
+    """2D (data x seq) mesh train step == single-device step.
+
+    Clips shard over 'data'; the GRU recurrence runs via sharded_scan over
+    'seq'; gradients all-reduce over both axes by GSPMD.
+    """
+    spec, cfg = tiny_spec
+    tx, _ = optim_lib.build_optimizer(cfg, steps_per_epoch=10)
+    state = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = make_synthetic_batch(rng, batch_size=4, sequence_len=4,
+                                 eyes_size=32, with_screen=False)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    step_rng = jax.random.PRNGKey(1)
+
+    train_step = step_lib.make_train_step(spec, tx, donate=False)
+    _, metrics_single = train_step(state, batch, step_rng)
+
+    mesh = mesh_lib.make_mesh_nd({'data': 2, 'seq': 2})
+    sharded_state = state.replace(
+        params=mesh_lib.replicate(mesh, state.params),
+        opt_state=mesh_lib.replicate(mesh, state.opt_state))
+    sharded_batch = mesh_lib.shard_batch(mesh, batch)
+    sp_step = step_lib.make_train_step(spec, tx, donate=False,
+                                       seq_mesh=mesh)
+    new_state, metrics_sp = sp_step(sharded_state, sharded_batch, step_rng)
+
+    np.testing.assert_allclose(float(metrics_single['full_loss']),
+                               float(metrics_sp['full_loss']), rtol=1e-5)
+    for k in metrics_single:
+        if k == 'nan_flag':
+            continue
+        np.testing.assert_allclose(float(metrics_single[k]),
+                                   float(metrics_sp[k]), rtol=1e-4,
+                                   err_msg=k)
+    assert not bool(metrics_sp['nan_flag'])
