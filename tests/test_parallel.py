@@ -135,13 +135,14 @@ def test_sharded_scan_matches_lax_scan():
                                    err_msg=k)
 
 
-def test_sharded_scan_under_jit_and_grad():
+@pytest.mark.parametrize('n_shards', [2, 4])
+def test_sharded_scan_under_jit_and_grad(n_shards):
     from eve_tpu.parallel.temporal import sharded_scan
 
     rng = np.random.RandomState(1)
     T, F = 8, 4
     xs = jnp.asarray(rng.randn(T, F), jnp.float32)
-    mesh = mesh_lib.make_mesh(num_devices=2, axis_name='seq')
+    mesh = mesh_lib.make_mesh(num_devices=n_shards, axis_name='seq')
 
     def step(c, x):
         h = jnp.tanh(c + x)
