@@ -313,9 +313,14 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
     """
     if seq_mesh is not None:
         from eve_tpu.parallel.temporal import sharded_scan as _sscan
+        # Scan carries are (B, ...) and xs/ys (T, B, ...) throughout this
+        # model, so a 'data' axis on the mesh shards the batch dim inside
+        # the scan too (no all-gather across data shards).
+        _batch_axis = 'data' if 'data' in seq_mesh.axis_names else None
 
         def _scan(step, init, xs):
-            return _sscan(step, init, xs, seq_mesh, axis_name=seq_axis)
+            return _sscan(step, init, xs, seq_mesh, axis_name=seq_axis,
+                          batch_axis=_batch_axis)
     else:
         _scan = jax.lax.scan
     eye_net = spec.build_eye_net()

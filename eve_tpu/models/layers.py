@@ -30,10 +30,10 @@ def instance_norm(x, weight=None, bias=None, eps=1e-5):
     """InstanceNorm2d over NHWC input (normalize per-sample, per-channel).
 
     Matches ``torch.nn.InstanceNorm2d`` (biased variance, no running stats).
-    Statistics accumulate in float32 regardless of input dtype (the bf16
-    stability island, SURVEY.md section 7 item 5) via reduction dtype — the
-    tensor itself is never materialized in f32, saving an HBM round trip in
-    bf16 models; the elementwise normalization runs in the input dtype.
+    Statistics and the centered/normalized intermediate are float32 (the
+    bf16 stability island, SURVEY.md section 7 item 5); the result is cast
+    back to the input dtype. XLA fuses the casts into the surrounding
+    elementwise chain, so no extra f32 HBM round trip was measurable.
     """
     mean = jnp.mean(x, axis=(-3, -2), keepdims=True, dtype=jnp.float32)
     xc = x.astype(jnp.float32) - mean

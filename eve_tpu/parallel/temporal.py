@@ -23,7 +23,8 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
-def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
+def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq',
+                 batch_axis=None):
     """Distributed equivalent of ``lax.scan(step_fn, init_carry, xs)``.
 
     Args:
@@ -32,31 +33,69 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq'):
       xs: pytree of (T, ...) arrays; T must divide by the mesh axis size.
       mesh: ``jax.sharding.Mesh`` containing ``axis_name``.
       axis_name: mesh axis to shard T over.
+      batch_axis: optional second mesh axis carrying data parallelism. When
+        given, xs/ys leaves are assumed (T, B, ...) and carry leaves
+        (B, ...): the B dim shards over ``batch_axis`` inside the shard_map
+        too, so data shards scan only their own samples instead of an
+        all-gathered global batch. Leaves too small/low-rank to shard stay
+        replicated.
 
     Returns:
       (final_carry, ys) — identical values to the single-device scan, with
-      ys sharded over T on ``axis_name`` and the final carry replicated.
+      ys sharded over T on ``axis_name`` and the final carry replicated
+      over ``axis_name``.
     """
     n = mesh.shape[axis_name]
     T = jax.tree_util.tree_leaves(xs)[0].shape[0]
     assert T % n == 0, 'sequence length %d not divisible by %d shards' % (T, n)
 
+    nb = mesh.shape[batch_axis] if batch_axis is not None else 1
+
+    def _xs_batch_sharded(x):
+        return batch_axis is not None and x.ndim >= 2 and x.shape[1] % nb == 0
+
+    def _carry_batch_sharded(c):
+        return (batch_axis is not None and c.ndim >= 1 and
+                c.shape[0] > 0 and c.shape[0] % nb == 0)
+
     # step_fn typically closes over parameters; arrays captured by a
     # closure keep their (auto-mesh) shardings and clash with the manual
     # shard_map context. closure_convert lifts them into explicit inputs
-    # that we pass through shard_map as replicated operands.
-    x0 = jax.tree_util.tree_map(lambda a: a[0], xs)
-    converted_step, consts = jax.closure_convert(step_fn, init_carry, x0)
+    # that we pass through shard_map as replicated operands. Conversion is
+    # shape-specializing, so use the *local* (per-shard) shapes.
+    def _local_carry_struct(c):
+        shape = ((c.shape[0] // nb,) + c.shape[1:]
+                 if _carry_batch_sharded(c) else c.shape)
+        return jax.ShapeDtypeStruct(shape, c.dtype)
+
+    def _local_x_struct(x):
+        shape = ((x.shape[1] // nb,) + x.shape[2:]
+                 if _xs_batch_sharded(x) else x.shape[1:])
+        return jax.ShapeDtypeStruct(shape, x.dtype)
+
+    converted_step, consts = jax.closure_convert(
+        step_fn,
+        jax.tree_util.tree_map(_local_carry_struct, init_carry),
+        jax.tree_util.tree_map(_local_x_struct, xs))
 
     # Output types of the reference scan (global shapes).
     carry_shapes, ys_shapes = jax.eval_shape(
         lambda c, x: lax.scan(step_fn, c, x), init_carry, xs)
     del carry_shapes
 
-    seq_spec = lambda x: P(axis_name, *([None] * (x.ndim - 1)))
+    def seq_spec(x):
+        if _xs_batch_sharded(x):
+            return P(axis_name, batch_axis, *([None] * (x.ndim - 2)))
+        return P(axis_name, *([None] * (x.ndim - 1)))
+
+    def c_spec(c):
+        if _carry_batch_sharded(c):
+            return P(batch_axis, *([None] * (c.ndim - 1)))
+        return P()
+
     xs_spec = jax.tree_util.tree_map(seq_spec, xs)
     ys_spec = jax.tree_util.tree_map(seq_spec, ys_shapes)
-    carry_spec = jax.tree_util.tree_map(lambda _: P(), init_carry)
+    carry_spec = jax.tree_util.tree_map(c_spec, init_carry)
     fwd_perm = [(i, (i + 1) % n) for i in range(n)]
 
     def local_fn(carry0, xs_local, *consts_in):

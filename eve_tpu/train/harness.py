@@ -236,6 +236,20 @@ class Experiment:
                 opt_state=mesh_lib.replicate(self.mesh, self.state.opt_state))
         self.train_step = step_lib.make_train_step(self.spec, self.tx)
         self.eval_step = step_lib.make_eval_step(self.spec)
+        if cfg.profile_dir:
+            # Dump the model graph (jaxpr + HLO) alongside profile traces.
+            # The reference's Tensorboard exposes the same API but training
+            # never invokes it (src/core/tensorboard.py:41-45).
+            import jax.numpy as jnp
+            from eve_tpu.data.synthetic import make_synthetic_batch
+            example = make_synthetic_batch(
+                np.random.RandomState(0), batch_size=1, sequence_len=2,
+                eyes_size=cfg.eyes_size[0],
+                with_screen=cfg.load_screen_content)
+            example = {k: jnp.asarray(v) for k, v in example.items()}
+            self.tensorboard.add_graph(
+                lambda b: step_lib.make_eval_step(self.spec)(
+                    self.state.params, b), example)
         if cfg.resume_from:
             self.state, self.last_step = \
                 self.checkpoint_manager.load_last_checkpoint(self.state)

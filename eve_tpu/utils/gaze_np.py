@@ -43,7 +43,7 @@ def vector_to_pitchyaw(vectors):
 
 
 def angular_error(a, b):
-    """Mean angular error in degrees between two (N, 2) pitch/yaw arrays."""
+    """Per-sample angular errors in degrees, (N,) for (N, 2) pitch/yaw."""
     a = pitchyaw_to_vector(np.asarray(a))
     b = pitchyaw_to_vector(np.asarray(b))
     ab = np.sum(a * b, axis=1)
