@@ -116,12 +116,15 @@ class RefineNet(nn.Module):
         Returns:
           (..., h, w, C) input image, C = 4 if screen content else 1.
         """
-        hm = heatmap_initial[..., None]  # add channel
+        # Cast to the compute dtype BEFORE the concat: the (B*T, h, w, 4)
+        # stack is a real HBM copy and this model is bandwidth bound —
+        # assembling in f32 and casting afterwards would double the traffic.
+        hm = heatmap_initial.astype(self.compute_dtype)[..., None]
         hm = resize_bilinear(hm, (screen_size[1], screen_size[0]))
         if self.load_screen_content:
             assert screen_frame is not None
             return jnp.concatenate(
-                [screen_frame.astype(hm.dtype), hm], axis=-1)
+                [screen_frame.astype(self.compute_dtype), hm], axis=-1)
         return hm
 
     def encode(self, x):
