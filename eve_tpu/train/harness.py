@@ -110,6 +110,14 @@ def init_datasets(config, train_specs, test_specs):
     for tag, dataset_class, path, stimuli, cameras in train_specs:
         dataset = dataset_class(path, config=config, cameras_to_use=cameras,
                                 types_of_stimuli=stimuli)
+        if jax.process_count() > 1:
+            # Multi-host: each host loads a deterministic slice of the clip
+            # list; the per-host batch feeds that host's addressable shards
+            # (SURVEY.md section 2.4).
+            sl = mesh_lib.local_data_slice(len(dataset))
+            dataset.all_subfolders = dataset.all_subfolders[sl]
+            logger.info('> Host %d/%d takes clips [%s] of %s',
+                        jax.process_index(), jax.process_count(), sl, tag)
         loader = DataLoader(dataset, batch_size=config.batch_size,
                             shuffle=True, drop_last=True,
                             num_workers=config.train_data_workers)
