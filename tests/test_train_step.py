@@ -160,3 +160,26 @@ def test_checkpoint_pruning(config, tmp_path):
         mgr.save_at_step(step, state)
     names = sorted(os.listdir(tmp_path / 'checkpoints'))
     assert names == ['0000003.ckpt', '0000004.ckpt']
+
+
+def test_checkpoint_ignores_interrupted_tmp_dir(config, tmp_path):
+    """Preemption mid-save leaves a .tmp dir; load must skip it and a later
+    save at the same step must recover (atomic write semantics)."""
+    spec, tx, state, batch = small_setup(config)
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path), keep_n=3)
+    mgr.save_at_step(1, state)
+
+    # Simulate a preempted save of step 2: partial tmp dir, no rename.
+    tmp_dir = os.path.join(str(tmp_path), 'checkpoints', '0000002.ckpt.tmp')
+    os.makedirs(tmp_dir)
+    with open(os.path.join(tmp_dir, 'eye_net.npz'), 'wb') as f:
+        f.write(b'garbage')
+
+    fresh = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(9))
+    restored, step = mgr.load_last_checkpoint(fresh)
+    assert step == 1  # the torn step-2 write is invisible
+
+    # A retried save at step 2 succeeds despite the stale tmp dir.
+    mgr.save_at_step(2, state)
+    restored2, step2 = mgr.load_last_checkpoint(fresh)
+    assert step2 == 2
