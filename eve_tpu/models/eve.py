@@ -293,9 +293,30 @@ def g_to_pog(spec: EveSpec, full, g_left, g_right, with_heatmap=True):
 # Forward
 # ----------------------------------------------------------------------
 
+def init_stream_state(spec: EveSpec, batch_size):
+    """Initial recurrent state for streaming inference.
+
+    Streaming (stateful chunked) inference feeds consecutive T-chunks of one
+    video through ``forward(..., initial_states=..., return_states=True)``;
+    the returned states carry the GRU / ConvGRU memory across chunk
+    boundaries so results match one long clip. The reference has no
+    equivalent (it always processes whole pre-cut clips).
+    """
+    eye_net = spec.build_eye_net()
+    state = {
+        'eye_left': eye_net.init_state(batch_size),
+        'eye_right': eye_net.init_state(batch_size),
+    }
+    refine_net = spec.build_refine_net()
+    if refine_net is not None:
+        state['refine'] = refine_net.init_state(batch_size)
+    return state
+
+
 def forward(spec: EveSpec, params, batch, rng=None, training=False,
             output_predictions=False, create_images=False,
-            seq_mesh=None, seq_axis='seq'):
+            seq_mesh=None, seq_axis='seq',
+            initial_states=None, return_states=False):
     """Full EVE forward over a (B, T, ...) clip batch.
 
     Args:
@@ -370,15 +391,21 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
                                      method=EyeNet.recurrent)
             return (nsl, nsr), (ol, onr)
 
-        init_states = (eye_net.init_state(B), eye_net.init_state(B))
-        _, (out_l, out_r) = _scan(
+        if initial_states is not None:
+            init_states = (initial_states['eye_left'],
+                           initial_states['eye_right'])
+        else:
+            init_states = (eye_net.init_state(B), eye_net.init_state(B))
+        (fin_l, fin_r), (out_l, out_r) = _scan(
             gru_step, init_states,
             (jnp.moveaxis(feats_l, 1, 0), jnp.moveaxis(feats_r, 1, 0)))
+        final_states = {'eye_left': fin_l, 'eye_right': fin_r}
         rnn_l = jnp.moveaxis(out_l, 0, 1)
         rnn_r = jnp.moveaxis(out_r, 0, 1)
     else:
         rnn_l = eye_net.apply(eye_params, feats_l, method=EyeNet.static_path)
         rnn_r = eye_net.apply(eye_params, feats_r, method=EyeNet.static_path)
+        final_states = {'eye_left': (), 'eye_right': ()}
 
     # --- Stage 3: heads, augmentation, projection, heatmaps (batched) ---
     g_l, pupil_l = eye_net.apply(eye_params, rnn_l, method=EyeNet.heads)
@@ -443,13 +470,18 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
                     rn_params, x, carry, method=RefineNet.bottleneck_step)
                 return new_carry, out
 
-            init = refine_net.init_state(B)
-            _, scanned = _scan(
+            if initial_states is not None and 'refine' in initial_states:
+                init = initial_states['refine']
+            else:
+                init = refine_net.init_state(B)
+            fin_refine, scanned = _scan(
                 cell_step, init, jnp.moveaxis(bottleneck_bt, 1, 0))
+            final_states['refine'] = fin_refine
             bottleneck_out = jnp.moveaxis(scanned, 0, 1).reshape(
                 (B * T,) + bt_shape)
         else:
             bottleneck_out = bottleneck_in
+            final_states['refine'] = ()
 
         heatmap_final = refine_net.apply(
             rn_params, bottleneck_out, skips, method=RefineNet.decode)
@@ -556,6 +588,8 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
         full_loss += spec.loss_coeff_heatmap_mse_final * \
             output['loss_mse_heatmap_final']
     output['full_loss'] = full_loss
+    if return_states:
+        output['states'] = final_states
     return output
 
 

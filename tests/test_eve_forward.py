@@ -210,3 +210,37 @@ def test_forward_rnn_variants(eye_rnn, refine_rnn, carry_only):
     finite = all(np.all(np.isfinite(np.asarray(g)))
                  for g in jax.tree_util.tree_leaves(grads))
     assert finite
+
+
+def test_streaming_chunked_inference_matches_full_clip():
+    """Two T/2 chunks with carried states == one full-T forward (serving)."""
+    import jax
+
+    spec = eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    rng_np = np.random.RandomState(5)
+    B, T = 2, 4
+    batch = make_synthetic_batch(rng_np, batch_size=B, sequence_len=T,
+                                 eyes_size=32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    full = eve_lib.forward(spec, params, batch, training=False,
+                           output_predictions=True)
+
+    states = eve_lib.init_stream_state(spec, B)
+    outs = []
+    for t0 in (0, T // 2):
+        chunk = {k: (v[:, t0:t0 + T // 2] if v.ndim >= 2 and
+                     v.shape[1] == T else v)
+                 for k, v in batch.items()}
+        out = eve_lib.forward(spec, params, chunk, training=False,
+                              output_predictions=True,
+                              initial_states=states, return_states=True)
+        states = out['states']
+        outs.append(out)
+
+    for key in ('PoG_px_initial', 'PoG_px_final', 'left_pupil_size'):
+        streamed = np.concatenate(
+            [np.asarray(o[key]) for o in outs], axis=1)
+        np.testing.assert_allclose(streamed, np.asarray(full[key]),
+                                   rtol=1e-4, atol=1e-3, err_msg=key)
