@@ -73,11 +73,18 @@ def is_primary_process():
 
 
 def local_data_slice(num_items, process_index=None, process_count=None):
-    """Deterministic per-host shard of a clip list (multi-host input)."""
+    """Deterministic per-host indices of a clip list (multi-host input).
+
+    Every host receives the SAME number of items (ceil(n / hosts)), with the
+    tail hosts wrapping around to the start of the list — unequal per-host
+    dataset lengths would give each host a different steps_per_epoch /
+    num_training_steps and deadlock the collective train step when the
+    short host exits the loop first.
+    """
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
         process_count = jax.process_count()
     per_host = -(-num_items // process_count)
     start = process_index * per_host
-    return slice(start, min(start + per_host, num_items))
+    return [(start + i) % num_items for i in range(per_host)]

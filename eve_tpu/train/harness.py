@@ -111,13 +111,15 @@ def init_datasets(config, train_specs, test_specs):
         dataset = dataset_class(path, config=config, cameras_to_use=cameras,
                                 types_of_stimuli=stimuli)
         if jax.process_count() > 1:
-            # Multi-host: each host loads a deterministic slice of the clip
-            # list; the per-host batch feeds that host's addressable shards
-            # (SURVEY.md section 2.4).
-            sl = mesh_lib.local_data_slice(len(dataset))
-            dataset.all_subfolders = dataset.all_subfolders[sl]
-            logger.info('> Host %d/%d takes clips [%s] of %s',
-                        jax.process_index(), jax.process_count(), sl, tag)
+            # Multi-host: each host loads an equal-size deterministic slice
+            # of the clip list (wrap-around remainder) so every host sees
+            # the same steps_per_epoch and the collective step stays in
+            # lockstep (SURVEY.md section 2.4).
+            idx = mesh_lib.local_data_slice(len(dataset))
+            dataset.all_subfolders = [dataset.all_subfolders[i] for i in idx]
+            logger.info('> Host %d/%d takes %d clips of %s',
+                        jax.process_index(), jax.process_count(),
+                        len(idx), tag)
         loader = DataLoader(dataset, batch_size=config.batch_size,
                             shuffle=True, drop_last=True,
                             num_workers=config.train_data_workers)

@@ -8,8 +8,7 @@ import pytest
 from eve_tpu.config import DefaultConfig
 from eve_tpu.data import loader as loader_lib
 from eve_tpu.data import segmentation as seg_lib
-from eve_tpu.data.dataset import (
-    EVESequencesBase, EVESequences_train, rodrigues_np)
+from eve_tpu.data.dataset import EVESequencesBase, rodrigues_np
 from eve_tpu.data.synthetic import write_synthetic_dataset
 from eve_tpu.data.video import VideoReader
 
@@ -159,21 +158,14 @@ def test_end_to_end_forward_from_disk(dataset_root, config, tmp_path):
     assert np.isfinite(np.asarray(out['PoG_px_initial'])).all()
 
 
-def test_camera_frame_type_full(dataset_root):
+def test_camera_frame_type_full(dataset_root, config, tmp_path):
     """camera_frame_type='full' loads the raw camera video as 'frame'."""
-    from eve_tpu.config import DefaultConfig
-    DefaultConfig._reset_instance_for_testing()
-    cfg = DefaultConfig()
-    cfg.import_dict({'max_sequence_len': 6, 'assumed_frame_rate': 10,
-                     'camera_frame_type': 'full',
-                     'load_screen_content': False})
-    ds = EVESequences_train(dataset_root, config=cfg,
-                            cameras_to_use=['webcam_c'],
-                            types_of_stimuli=['image'])
+    config.import_dict({'camera_frame_type': 'full',
+                        'load_screen_content': False})
+    ds = make_dataset(dataset_root, config, tmp_path)
     item = ds[0]
     assert 'frame' in item and 'left_eye_patch' not in item
     # Synthetic full-frame stand-in video is 192x108; values in [-1, 1].
     assert item['frame'].shape == (6, 108, 192, 3)
     assert item['frame'].dtype == np.float32
     assert item['frame'].min() >= -1.0 and item['frame'].max() <= 1.0
-    DefaultConfig._reset_instance_for_testing()

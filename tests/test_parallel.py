@@ -47,10 +47,15 @@ def test_shard_batch_layout():
 def test_local_data_slice_partitions_everything():
     n = 103
     seen = []
+    lengths = set()
     for pi in range(8):
-        sl = mesh_lib.local_data_slice(n, process_index=pi, process_count=8)
-        seen.extend(range(n)[sl])
-    assert sorted(seen) == list(range(n))
+        idx = mesh_lib.local_data_slice(n, process_index=pi, process_count=8)
+        lengths.add(len(idx))
+        seen.extend(idx)
+    # Equal per-host lengths (lockstep step counts) covering every item;
+    # the remainder wraps around, so duplicates are allowed.
+    assert lengths == {13}
+    assert set(seen) == set(range(n))
 
 
 @pytest.fixture
