@@ -163,6 +163,10 @@ class DefaultConfig(object):
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
 
+    # Streaming inference: carry recurrent state across consecutive clips of
+    # the input video (inference.py) instead of resetting per clip.
+    inference_streaming = False
+
     # Ship uint8 frames to the device and normalize there (XLA-resident
     # preprocessing): 4x less host->device traffic and less HBM read at the
     # model entry. Off = reference-style host float32 normalization.

@@ -89,13 +89,41 @@ def model_setup(config, pretrained_dir=None):
     return spec, params
 
 
-def iterator(spec, params, dataloader, create_images=True):
-    """Yield (step, inputs_np, outputs_np) per batch (reference :103-127)."""
-    eval_step = make_eval_step(spec, output_predictions=True,
-                               create_images=create_images)
+def iterator(spec, params, dataloader, create_images=True, streaming=False):
+    """Yield (step, inputs_np, outputs_np) per batch (reference :103-127).
+
+    ``streaming=True`` carries the GRU/ConvGRU states across batches —
+    correct when the loader yields consecutive clips of one video in order
+    (the inference-CLI dataset does; batch_size must be 1). The reference
+    resets recurrent state at every clip boundary; streaming produces the
+    same results as processing the whole video as one clip.
+    """
+    import functools
+    import jax as jax_lib
+    from eve_tpu.models import eve as eve_lib
+
+    if streaming:
+        @functools.partial(jax_lib.jit, static_argnames=())
+        def eval_step_stream(params, batch, states):
+            return eve_lib.forward(spec, params, batch, training=False,
+                                   output_predictions=True,
+                                   create_images=create_images,
+                                   initial_states=states, return_states=True)
+        states = None
+    else:
+        eval_step = make_eval_step(spec, output_predictions=True,
+                                   create_images=create_images)
     for current_step, batch in enumerate(dataloader):
         device_batch, host_extras = to_device_arrays(batch)
-        outputs = eval_step(params, device_batch)
+        if streaming:
+            if states is None:
+                B = next(iter(device_batch.values())).shape[0]
+                assert B == 1, 'streaming inference requires batch_size=1'
+                states = eve_lib.init_stream_state(spec, B)
+            outputs = eval_step_stream(params, device_batch, states)
+            states = outputs.pop('states')
+        else:
+            outputs = eval_step(params, device_batch)
         inputs_np = {}
         inputs_np.update({k: np.asarray(v) for k, v in device_batch.items()})
         inputs_np.update(host_extras)

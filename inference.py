@@ -29,7 +29,8 @@ def main():
         os.makedirs(output_dir, exist_ok=True)
     encoder = VideoEncoder(config.output_path, fps=config.assumed_frame_rate)
 
-    for step, inputs, outputs in infer.iterator(spec, params, dataloader):
+    for step, inputs, outputs in infer.iterator(
+            spec, params, dataloader, streaming=config.inference_streaming):
         we_have_gt = 'left_g_gt' in outputs
         all_PoG_init = outputs['PoG_px_initial']
         all_PoG_final = outputs.get('PoG_px_final')

@@ -132,3 +132,38 @@ def test_eval_codalab_submission(dataset_root, clean_config, tmp_path):
     assert entry['PoG_px_final'].shape == (18, 2)
     assert entry['left_pupil_size'].shape == (18,)
     assert entry['timestamps'].dtype == np.int64
+
+
+def test_streaming_inference_carries_state(dataset_root, clean_config,
+                                           tmp_path):
+    from eve_tpu import infer
+    input_path = os.path.join(dataset_root, 'val01', 'step008_image_test',
+                              'webcam_c.mp4')
+    config = infer.script_init_common(argv=COMMON_FLAGS + [
+        '--datasrc-eve', dataset_root,
+        '--input-path', input_path, '--output-path', str(tmp_path / 'o.mp4'),
+        '--load-full-frame-for-visualization', 'no',
+    ])
+    config.override('load_full_frame_for_visualization', False)
+    dataset, dataloader = infer.init_dataset(config)
+    spec, params = infer.model_setup(config)
+
+    # Freshly initialized heads are degenerate (zero-init gaze, ReLU-dead
+    # pupil) — perturb all parameters so outputs respond to carried state.
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+
+    plain = [o['PoG_px_initial'] for _, _, o in
+             infer.iterator(spec, params, dataloader, create_images=False)]
+    streamed = [o['PoG_px_initial'] for _, _, o in
+                infer.iterator(spec, params, dataloader, create_images=False,
+                               streaming=True)]
+    assert len(plain) == len(streamed) == 3
+    # First clip: zero initial state either way -> identical.
+    np.testing.assert_allclose(streamed[0], plain[0], rtol=1e-3, atol=1e-2)
+    # Later clips: carried state changes the trajectory.
+    assert not np.allclose(streamed[1], plain[1], atol=1e-3)
