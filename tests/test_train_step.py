@@ -183,3 +183,23 @@ def test_checkpoint_ignores_interrupted_tmp_dir(config, tmp_path):
     mgr.save_at_step(2, state)
     restored2, step2 = mgr.load_last_checkpoint(fresh)
     assert step2 == 2
+
+
+def test_schedule_cyclic_matches_host_reference(config):
+    """The jit-able cyclic schedule equals the host-side formulation."""
+    config.import_dict({'num_warmup_epochs': 0.5,
+                        'lr_decay_strategy': 'cyclic',
+                        'lr_decay_factor': 0.5,
+                        'lr_decay_epoch_interval': 2.0})
+    steps_per_epoch = 20
+    schedule = optim_lib.make_schedule(config, steps_per_epoch)
+    target = config.learning_rate
+    base = target / config.batch_size
+    for step in (0, 5, 10, 17, 25, 40, 63, 90, 120):
+        expected = optim_lib.learning_rate_schedule(
+            step, base_lr=base, target_lr=target,
+            steps_per_epoch=steps_per_epoch,
+            num_warmup_epochs=0.5, strategy='cyclic',
+            decay_factor=0.5, decay_epoch_interval=2.0)
+        np.testing.assert_allclose(float(schedule(step)), expected,
+                                   rtol=1e-5, err_msg='step %d' % step)
