@@ -163,6 +163,11 @@ class DefaultConfig(object):
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
 
+    # Rematerialize CNN activations in the backward pass (jax.checkpoint):
+    # trades one extra forward of FLOPs for much lower activation memory,
+    # enabling larger batch*sequence per chip.
+    tpu_remat = False
+
     # Streaming inference: carry recurrent state across consecutive clips of
     # the input video (inference.py) instead of resetting per clip.
     inference_streaming = False

@@ -73,6 +73,10 @@ class EveSpec:
     # Compute
     compute_dtype: str = 'float32'
     use_pallas: bool = False
+    # Rematerialize the CNN feature extractors in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for not storing
+    # ResNet/refine-encoder activations — enables much larger B*T per chip.
+    remat: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -115,6 +119,7 @@ class EveSpec:
             loss_coeff_heatmap_mse_final=config.loss_coeff_heatmap_mse_final,
             compute_dtype=config.tpu_compute_dtype,
             use_pallas=config.tpu_use_pallas,
+            remat=getattr(config, 'tpu_remat', False),
         )
 
     @property
@@ -375,8 +380,12 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
         ], axis=0)
     else:
         head_pose = None
-    feats = eye_net.apply(eye_params, patches, head_pose,
-                          method=EyeNet.features)
+    def _features(p, h):
+        return eye_net.apply(eye_params, p, h, method=EyeNet.features)
+
+    if spec.remat:
+        _features = jax.checkpoint(_features)
+    feats = _features(patches, head_pose)
     feats_l = feats[:B * T].reshape(B, T, nf)
     feats_r = feats[B * T:].reshape(B, T, nf)
 
@@ -459,8 +468,13 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
             rn_params, interm['heatmap_initial'], screen,
             screen_size=spec.screen_size, method=RefineNet.assemble_input)
         flat_in = net_in.reshape((B * T,) + net_in.shape[2:])
-        bottleneck_in, skips = refine_net.apply(
-            rn_params, flat_in, method=RefineNet.encode)
+
+        def _encode(x):
+            return refine_net.apply(rn_params, x, method=RefineNet.encode)
+
+        if spec.remat:
+            _encode = jax.checkpoint(_encode)
+        bottleneck_in, skips = _encode(flat_in)
         bt_shape = bottleneck_in.shape[1:]
         bottleneck_bt = bottleneck_in.reshape((B, T) + bt_shape)
 

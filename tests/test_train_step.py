@@ -203,3 +203,22 @@ def test_schedule_cyclic_matches_host_reference(config):
             decay_factor=0.5, decay_epoch_interval=2.0)
         np.testing.assert_allclose(float(schedule(step)), expected,
                                    rtol=1e-5, err_msg='step %d' % step)
+
+
+def test_remat_matches_no_remat(config):
+    """jax.checkpoint rematerialization changes memory, not numerics."""
+    import dataclasses
+    spec, tx, state, batch = small_setup(config)
+    rng = jax.random.PRNGKey(3)
+    step_plain = step_lib.make_train_step(spec, tx, donate=False)
+    _, m_plain = step_plain(state, batch, rng)
+
+    spec_remat = dataclasses.replace(spec, remat=True)
+    step_remat = step_lib.make_train_step(spec_remat, tx, donate=False)
+    _, m_remat = step_remat(state, batch, rng)
+
+    for k in m_plain:
+        if k == 'nan_flag':
+            continue
+        np.testing.assert_allclose(float(m_plain[k]), float(m_remat[k]),
+                                   rtol=1e-5, err_msg=k)
