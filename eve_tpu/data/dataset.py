@@ -142,11 +142,15 @@ class EVESequencesBase:
 
         if self.is_final_test:
             # Whole-video cache: decode each video once for the full test.
-            key = (path, source)
-            if key not in self.full_video_cache:
-                self.full_video_cache = {key: VideoReader(
-                    video_path, output_size=output_size).get_frames()}
-            timestamps, frames = self.full_video_cache[key]
+            # One path's sources stay cached together (camera + screen are
+            # read alternately per item); a new path evicts the previous
+            # one to bound memory — reference eve_sequences.py:259-263.
+            if path not in self.full_video_cache:
+                self.full_video_cache = {path: {}}
+            if source not in self.full_video_cache[path]:
+                self.full_video_cache[path][source] = VideoReader(
+                    video_path, output_size=output_size).get_frames()
+            timestamps, frames = self.full_video_cache[path][source]
             timestamps = timestamps[selected_indices]
             frames = frames[selected_indices]
         else:
@@ -178,6 +182,17 @@ class EVESequencesBase:
         else:
             subentry['frame'] = preprocess_frames(frames)
 
+        # A truncated/corrupt video can decode fewer frames than its
+        # timestamps/labels claim; align every per-frame array to the
+        # decoded length so the zero-padding below also zeroes validity for
+        # the missing tail (otherwise black frames pair with validity=1).
+        n_frames = (subentry['left_eye_patch'].shape[0]
+                    if 'left_eye_patch' in subentry
+                    else subentry['frame'].shape[0])
+        for key, value in subentry.items():
+            if value.shape[0] > n_frames:
+                subentry[key] = value[:n_frames]
+
         # Zero-pad short clips (zero validity for padded frames).
         for key, value in subentry.items():
             if value.shape[0] < cfg.max_sequence_len:
@@ -195,7 +210,11 @@ class EVESequencesBase:
         source = spec['camera_name']
 
         if self.live_validation:
-            cache_key = '%s/%s' % (path, source)
+            # Keyed per clip (the reference keys only path/source,
+            # eve_sequences.py:312, so every window of a video returned the
+            # first window's data — intended behavior implemented instead).
+            cache_key = '%s/%s/%s' % (path, source,
+                                      tuple(spec['indices']))
             if cache_key in self.validation_data_cache:
                 return self.validation_data_cache[cache_key]
 

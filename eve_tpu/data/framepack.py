@@ -9,6 +9,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -21,6 +22,7 @@ _LIB = os.path.join(_REPO_ROOT, 'native', 'libframepack.so')
 
 _lib = None
 _tried = False
+_lock = threading.Lock()  # loader worker threads race on first use
 
 
 def _build():
@@ -30,7 +32,20 @@ def _build():
 
 
 def get_lib():
-    """Load (building if necessary) the native library, or None."""
+    """Load (building if necessary) the native library, or None.
+
+    Thread-safe: concurrent first calls (DataLoader worker threads) must
+    not spawn parallel g++ builds of the same .so or dlopen a half-written
+    file.
+    """
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib

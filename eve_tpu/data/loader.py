@@ -117,7 +117,6 @@ class DataLoader:
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             window = []
-            max_window = self.prefetch * max(1, self.num_workers)
 
             def submit_batch(chunk):
                 return [pool.submit(self.dataset.__getitem__, int(i))
@@ -149,22 +148,37 @@ class DevicePrefetcher:
     def __iter__(self):
         q = queue_lib.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self.loader:
-                    q.put(to_device_arrays(batch, self.device_put))
+                    item = to_device_arrays(batch, self.device_put)
+                    # Bounded put so an abandoned consumer (early break or
+                    # exception in the training loop) releases this thread
+                    # and its device-resident batches instead of leaking.
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue_lib.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(sentinel)
             except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
                 q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            stop.set()

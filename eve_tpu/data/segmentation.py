@@ -102,10 +102,22 @@ def select_sequences(segmentations, dataset_path, participants_to_use,
             if stimulus_name_includes and \
                     stimulus_name_includes not in stimulus_name:
                 continue
+            screen_segments = stimulus_segments.get('screen', [])
             for camera, all_indices in stimulus_segments.items():
                 if camera not in cameras_to_use:
                     continue
-                for i, indices in enumerate(all_indices):
+                # Real recordings start/stop independently; only windows
+                # that exist for BOTH the camera and the screen stream are
+                # usable (the screen indices feed the refine branch).
+                usable = (min(len(all_indices), len(screen_segments))
+                          if screen_segments else len(all_indices))
+                if usable < len(all_indices):
+                    logger.warning(
+                        '%s/%s/%s: camera has %d windows but screen has %d;'
+                        ' keeping %d', participant_name, stimulus_name,
+                        camera, len(all_indices), len(screen_segments),
+                        usable)
+                for i in range(usable):
                     all_subfolders.append({
                         'camera_name': camera,
                         'participant': participant_name,
@@ -115,7 +127,8 @@ def select_sequences(segmentations, dataset_path, participants_to_use,
                         'full_path': os.path.join(dataset_path,
                                                   participant_name,
                                                   stimulus_name),
-                        'indices': indices,
-                        'screen_indices': stimulus_segments['screen'][i],
+                        'indices': all_indices[i],
+                        'screen_indices': (screen_segments[i]
+                                           if screen_segments else []),
                     })
     return all_subfolders

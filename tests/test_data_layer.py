@@ -169,3 +169,20 @@ def test_camera_frame_type_full(dataset_root, config, tmp_path):
     assert item['frame'].shape == (6, 108, 192, 3)
     assert item['frame'].dtype == np.float32
     assert item['frame'].min() >= -1.0 and item['frame'].max() <= 1.0
+
+
+def test_live_validation_cache_is_per_clip(dataset_root, config, tmp_path):
+    """Distinct windows of one video must not collide in the live-val cache.
+
+    (The reference keys its cache by path/source only — eve_sequences.py:312
+    — returning window 0's data for every window; intended behavior here.)
+    """
+    config.import_dict({'load_screen_content': False})
+    ds = make_dataset(dataset_root, config, tmp_path, live_validation=True)
+    assert len(ds) >= 2
+    a0 = ds[0]
+    a1 = ds[1]
+    assert not np.array_equal(a0['timestamps'], a1['timestamps'])
+    # Cached re-reads return the right entries.
+    np.testing.assert_array_equal(ds[0]['timestamps'], a0['timestamps'])
+    np.testing.assert_array_equal(ds[1]['timestamps'], a1['timestamps'])
