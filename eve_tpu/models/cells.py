@@ -11,13 +11,11 @@ These cells are the *only* part of the network that runs inside the temporal
 ``lax.scan`` — everything conv-heavy around them is batched over (B*T).
 """
 
-from typing import Any, Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eve_tpu.models.layers import Conv, torch_linear_bias_init
+from eve_tpu.models.layers import Conv
 
 
 def _uniform_rnn_init(hidden_size):

@@ -21,7 +21,7 @@ harness code and evaluation tooling interoperate.
 
 import dataclasses
 import math
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

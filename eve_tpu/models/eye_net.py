@@ -14,9 +14,8 @@ full network once per timestep in a Python loop (src/models/eve.py:91-111).
 """
 
 import math
-from typing import Any, Tuple
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -124,9 +124,10 @@ def adaptive_max_pool(x, out_hw):
     h, w = x.shape[-3], x.shape[-2]
     if h % oh == 0 and w % ow == 0:
         kh, kw = h // oh, w // ow
+        identity = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                    else jnp.iinfo(x.dtype).min)
         return jax.lax.reduce_window(
-            x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else x.dtype.type(0),
-            jax.lax.max,
+            x, identity, jax.lax.max,
             window_dimensions=(1, kh, kw, 1) if x.ndim == 4 else (kh, kw, 1),
             window_strides=(1, kh, kw, 1) if x.ndim == 4 else (kh, kw, 1),
             padding='VALID')

@@ -18,7 +18,7 @@ passes its input through unchanged. ``clstm_carry_only`` replicates this
 (default True, matching the shipped refine_net.json which uses CLSTM).
 """
 
-from typing import Any, List, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -85,11 +85,11 @@ class RefineNet(nn.Module):
 
         dec = []
         for k in range(5):
-            # Channels entering the decoder at level k (inner module output
-            # upsampled, optionally concatenated with the encoder skip).
+            # Channels entering the decoder at level k: the inner module's
+            # upsampled output, optionally concatenated with the encoder
+            # skip (which has the same channel count by construction).
             inner_out = LEVEL_CHANNELS[k + 1] if k < 4 else nf
-            in_c = inner_out + (LEVEL_CHANNELS[k + 1] if k < 4 else nf) \
-                if self.use_skip_connections else inner_out
+            in_c = 2 * inner_out if self.use_skip_connections else inner_out
             out_c = LEVEL_CHANNELS[k] if k < 4 else LEVEL_CHANNELS[4]
             dec.append(PreactBlock(in_c, out_c, 'leaky', name=f'dec{k}_0'))
         self.dec_blocks = dec

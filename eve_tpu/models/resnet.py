@@ -17,8 +17,7 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from eve_tpu.models.layers import (
-    Conv, InstanceNorm, TorchLinear, adaptive_max_pool)
+from eve_tpu.models.layers import Conv, InstanceNorm, TorchLinear
 
 
 class BasicBlock(nn.Module):
