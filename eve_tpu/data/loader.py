@@ -78,27 +78,39 @@ def to_device_arrays(batch, device_put=None, exclude=('screen_full_frame',)):
 
 
 class DataLoader:
-    """Ordered, thread-parallel batch loader with bounded prefetch."""
+    """Ordered, thread-parallel batch loader with bounded prefetch.
+
+    ``indices`` restricts iteration to a subset of the dataset (used by the
+    live-validation subset and the full final test).
+    """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, seed=0, prefetch=2):
+                 num_workers=4, seed=0, prefetch=2, indices=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
+        self.indices = None if indices is None else list(indices)
         self._rng = np.random.RandomState(seed)
 
+    @property
+    def num_entries(self):
+        return (len(self.indices) if self.indices is not None
+                else len(self.dataset))
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self.num_entries
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
     def _index_batches(self):
-        order = np.arange(len(self.dataset))
+        order = (np.asarray(self.indices) if self.indices is not None
+                 else np.arange(len(self.dataset)))
         if self.shuffle:
+            order = order.copy()
             self._rng.shuffle(order)
         batches = []
         for i in range(0, len(order), self.batch_size):

@@ -34,6 +34,8 @@ from eve_tpu.train.logging_utils import Tensorboard
 
 logger = logging.getLogger(__name__)
 
+_file_handler = None  # per-process messages.log handler (see Experiment)
+
 
 def _convert_cli_arg_type(config, key, value):
     config_type = type(getattr(config, key))
@@ -110,17 +112,24 @@ def init_datasets(config, train_specs, test_specs):
     for tag, dataset_class, path, stimuli, cameras in train_specs:
         dataset = dataset_class(path, config=config, cameras_to_use=cameras,
                                 types_of_stimuli=stimuli)
+        local_batch = config.batch_size
         if jax.process_count() > 1:
             # Multi-host: each host loads an equal-size deterministic slice
             # of the clip list (wrap-around remainder) so every host sees
             # the same steps_per_epoch and the collective step stays in
-            # lockstep (SURVEY.md section 2.4).
+            # lockstep (SURVEY.md section 2.4). The per-host loader yields
+            # batch_size / process_count samples; device_put_batch
+            # assembles them into the global batch.
+            assert config.batch_size % jax.process_count() == 0, (
+                'batch_size %d must divide by %d hosts'
+                % (config.batch_size, jax.process_count()))
+            local_batch = config.batch_size // jax.process_count()
             idx = mesh_lib.local_data_slice(len(dataset))
             dataset.all_subfolders = [dataset.all_subfolders[i] for i in idx]
             logger.info('> Host %d/%d takes %d clips of %s',
                         jax.process_index(), jax.process_count(),
                         len(idx), tag)
-        loader = DataLoader(dataset, batch_size=config.batch_size,
+        loader = DataLoader(dataset, batch_size=local_batch,
                             shuffle=True, drop_last=True,
                             num_workers=config.train_data_workers)
         train_data[tag] = {'dataset': dataset, 'dataloader': loader}
@@ -150,37 +159,13 @@ def init_datasets(config, train_specs, test_specs):
     return train_data, test_data
 
 
-class SubsetLoader:
-    """DataLoader over an optional index subset (live validation)."""
-
-    def __init__(self, dataset, indices, batch_size, num_workers=0):
-        self.dataset = dataset
-        self.indices = indices
-        self.batch_size = batch_size
-        self.num_workers = num_workers
-
-    def __len__(self):
-        n = len(self.indices) if self.indices is not None else \
-            len(self.dataset)
-        return -(-n // self.batch_size)
-
-    @property
-    def num_entries(self):
-        return (len(self.indices) if self.indices is not None
-                else len(self.dataset))
-
-    def __iter__(self):
-        from eve_tpu.data.loader import collate
-        order = (self.indices if self.indices is not None
-                 else range(len(self.dataset)))
-        items = []
-        for i in order:
-            items.append(self.dataset[int(i)])
-            if len(items) == self.batch_size:
-                yield collate(items)
-                items = []
-        if items:
-            yield collate(items)
+def SubsetLoader(dataset, indices, batch_size, num_workers=0):
+    """DataLoader over an optional index subset (live validation / full
+    test). Worker threads are honored — the final full test decodes every
+    video and was previously forced single-threaded."""
+    return DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                      drop_last=False, num_workers=num_workers,
+                      indices=indices)
 
 
 class Experiment:
@@ -207,12 +192,18 @@ class Experiment:
         if not config.resume_from and mesh_lib.is_primary_process():
             config.write_file_contents(output_dir)
 
-        # File logging (reference training.py:199-205)
-        file_handler = logging.FileHandler(
+        # File logging (reference training.py:199-205). Replace any handler
+        # from a previous Experiment in this process so log lines are not
+        # duplicated into stale messages.log files.
+        global _file_handler
+        if _file_handler is not None:
+            logging.getLogger().removeHandler(_file_handler)
+            _file_handler.close()
+        _file_handler = logging.FileHandler(
             os.path.join(output_dir, 'messages.log'))
-        file_handler.setFormatter(logging.Formatter(
+        _file_handler.setFormatter(logging.Formatter(
             '%(asctime)s %(levelname)s %(message)s', '%d/%m %H:%M:%S'))
-        logging.getLogger().addHandler(file_handler)
+        logging.getLogger().addHandler(_file_handler)
 
         # Mesh size must divide the global batch so clips shard evenly over
         # the data axis; fall back to the largest divisor of batch_size.
@@ -240,6 +231,18 @@ class Experiment:
         num_params = sum(x.size for x in
                          jax.tree_util.tree_leaves(self.state.params))
         logger.info('There are %d parameters.', num_params)
+        # Resume BEFORE replication: the checkpoint loader returns host
+        # arrays, which would silently drop the mesh placement if loaded
+        # afterwards. In multi-host runs only the primary saved checkpoints
+        # (the filesystem may be host-local), so broadcast its state.
+        if cfg.resume_from:
+            self.state, self.last_step = \
+                self.checkpoint_manager.load_last_checkpoint(self.state)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                self.state = multihost_utils.broadcast_one_to_all(self.state)
+                self.last_step = int(multihost_utils.broadcast_one_to_all(
+                    jax.numpy.asarray(self.last_step)))
         if len(self.mesh.devices.flatten()) > 1:
             self.state = self.state.replace(
                 params=mesh_lib.replicate(self.mesh, self.state.params),
@@ -260,13 +263,19 @@ class Experiment:
             self.tensorboard.add_graph(
                 lambda b: step_lib.make_eval_step(self.spec)(
                     self.state.params, b), example)
-        if cfg.resume_from:
-            self.state, self.last_step = \
-                self.checkpoint_manager.load_last_checkpoint(self.state)
         return self
 
     def device_put_batch(self, device_batch):
         n = len(self.mesh.devices.flatten())
+        if jax.process_count() > 1:
+            # Each host holds a DIFFERENT local slice of the global batch;
+            # a plain device_put with a global sharding would alias every
+            # host's array as the same global rows. Assemble properly.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(self.mesh, P('data'))
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), device_batch)
         if n > 1:
             batch_dim = next(iter(device_batch.values())).shape[0]
             if batch_dim % n == 0:
@@ -287,11 +296,20 @@ def main_loop_iterator(exp, train_data, test_data):
     caller receives finished metrics instead of appending loss terms.
     """
     config = exp.config
+    # One training source, like the reference (its EVE.forward asserts a
+    # single input source, src/models/eve.py:71).
+    assert len(train_data) == 1, (
+        'exactly one training source is supported, got %d'
+        % len(train_data))
     if config.skip_training:
+        # Eval-only: still need model state + checkpoint for the final test.
+        exp.build_training(1)
         return
 
+    tag0, data0 = next(iter(train_data.items()))
+    local_batch = data0['dataloader'].batch_size  # batch_size/hosts if multi
     max_dataset_len = max(len(d['dataset']) for d in train_data.values())
-    steps_per_epoch = int(max_dataset_len / config.batch_size)
+    steps_per_epoch = int(max_dataset_len / local_batch)
     num_training_steps = int(config.num_epochs * max(steps_per_epoch, 1))
     exp.build_training(max(steps_per_epoch, 1))
 
@@ -314,18 +332,24 @@ def main_loop_iterator(exp, train_data, test_data):
             'entries with batch_size=%d, drop_last).'
             % (tag, len(data_dict['dataset']), config.batch_size))
 
+    def abort_if_nan(metrics):
+        """NaN watchdog (reference training.py:536-542); exits non-zero so
+        wrappers don't mistake the aborted run for success, and runs before
+        checkpoint saves so NaN parameters are never persisted."""
+        if bool(metrics['nan_flag']):
+            logger.error('NaN encountered during training; aborting.')
+            cleanup_and_quit(exp, train_data, test_data, exit_code=1)
+
     profiling = False
     for current_step in range(exp.last_step, num_training_steps):
-        current_epoch = (current_step * config.batch_size) / max_dataset_len
+        current_epoch = (current_step * local_batch) / max_dataset_len
         exp.tensorboard.update_current_step(current_step + 1)
 
         if config.profile_dir and current_step == exp.last_step + 5:
             jax.profiler.start_trace(config.profile_dir)
             profiling = True
 
-        # Single training source (reference asserts the same, eve.py:71)
-        tag, data_dict = next(iter(train_data.items()))
-        device_batch, _ = next_batch(tag, data_dict)
+        device_batch, _ = next_batch(tag0, data0)
 
         rng, sub = jax.random.split(rng)
         exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
@@ -369,16 +393,16 @@ def main_loop_iterator(exp, train_data, test_data):
                            config.tensorboard_learning_rate_every_n_steps):
                 exp.tensorboard.add_scalar(
                     'lr/optim_0', float(exp.schedule(current_step)))
-            if bool(metrics['nan_flag']):
-                logger.error('NaN encountered during training; aborting.')
-                cleanup_and_quit(exp, train_data, test_data)
+            abort_if_nan(metrics)
 
         if step_modulo(current_step, config.checkpoints_save_every_n_steps):
+            abort_if_nan(metrics)  # never persist NaN parameters
             if mesh_lib.is_primary_process():
                 exp.checkpoint_manager.save_at_step(
                     current_step + 1, exp.state)
 
         if step_modulo(current_step, config.test_every_n_steps):
+            abort_if_nan(metrics)
             _, for_gsheet = test_model_on_all(exp, test_data,
                                               current_step + 1)
             if for_gsheet is not None:
@@ -449,6 +473,6 @@ def do_final_full_test(exp, test_data):
         exp.gsheet_logger.update_or_append_row(for_gsheet)
 
 
-def cleanup_and_quit(exp, train_data, test_data):
+def cleanup_and_quit(exp, train_data, test_data, exit_code=0):
     exp.tensorboard.close()
-    sys.exit(0)
+    sys.exit(exit_code)

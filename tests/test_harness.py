@@ -164,3 +164,22 @@ def test_tensorboard_add_graph(tmp_path):
     assert os.path.isfile(os.path.join(str(tmp_path), 'model_jaxpr.txt'))
     tb.close()
     Tensorboard._reset_for_testing()
+
+
+def test_skip_training_eval_only(dataset_root, config):
+    """--skip-training must still build state and run the final test.
+
+    (Previously crashed: do_final_full_test used exp.eval_step/state that
+    were never created when the main loop returned early.)
+    """
+    config.import_dict({'datasrc_eve': dataset_root, 'skip_training': True})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    steps = list(harness.main_loop_iterator(exp, train_data, test_data))
+    assert steps == []
+    harness.do_final_full_test(exp, test_data)  # must not raise
