@@ -162,24 +162,29 @@ class DevicePrefetcher:
         sentinel = object()
         stop = threading.Event()
 
+        def put_or_abandon(item):
+            # Bounded put so an abandoned consumer (early break or exception
+            # in the training loop) releases this thread and its
+            # device-resident batches instead of leaking. Applies to data,
+            # sentinel and exception puts alike: ANY unbounded q.put() here
+            # can block forever once the consumer is gone and the queue full.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue_lib.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch in self.loader:
-                    item = to_device_arrays(batch, self.device_put)
-                    # Bounded put so an abandoned consumer (early break or
-                    # exception in the training loop) releases this thread
-                    # and its device-resident batches instead of leaking.
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.5)
-                            break
-                        except queue_lib.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_abandon(to_device_arrays(batch,
+                                                           self.device_put)):
                         return
-                q.put(sentinel)
+                put_or_abandon(sentinel)
             except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
-                q.put(exc)
+                put_or_abandon(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -138,6 +138,47 @@ def test_loader_workers_match_serial(dataset_root, config, tmp_path):
             np.testing.assert_array_equal(b0[k], b2[k])
 
 
+def test_device_prefetcher_releases_producer_on_abandon():
+    """An abandoned consumer must release the producer thread even when it
+    is blocked on a full queue — including the sentinel/exception puts."""
+    import threading
+    import time as time_lib
+
+    batches = [{'x': np.zeros(4, np.float32)} for _ in range(50)]
+    before = set(threading.enumerate())
+    prefetcher = loader_lib.DevicePrefetcher(batches, device_put=lambda d: d,
+                                             depth=1)
+    it = iter(prefetcher)
+    next(it)
+    it.close()  # abandon mid-iteration with the queue full
+
+    extra = []
+    deadline = time_lib.time() + 10.0
+    while time_lib.time() < deadline:
+        extra = [t for t in set(threading.enumerate()) - before
+                 if t.is_alive()]
+        if not extra:
+            break
+        time_lib.sleep(0.05)
+    assert not extra, 'producer thread leaked: %r' % extra
+
+
+def test_device_prefetcher_propagates_producer_error():
+    class Boom(RuntimeError):
+        pass
+
+    def bad_loader():
+        yield {'x': np.zeros(2, np.float32)}
+        raise Boom('decode failed')
+
+    prefetcher = loader_lib.DevicePrefetcher(bad_loader(),
+                                             device_put=lambda d: d)
+    it = iter(prefetcher)
+    next(it)
+    with pytest.raises(Boom):
+        next(it)
+
+
 def test_end_to_end_forward_from_disk(dataset_root, config, tmp_path):
     """Disk -> loader -> EVE forward: the full input contract in one test."""
     import jax
