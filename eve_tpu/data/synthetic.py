@@ -180,6 +180,14 @@ def write_synthetic_dataset(root, participants=('train01',),
                 screen_frames[i] = min(5 + 6 * i, 250)
             _write_video(os.path.join(d, 'screen.128x72.mp4'),
                          screen_frames, fps)
+            # Stand-in for the full-resolution screen recording consumed by
+            # the inference visualizer (load_full_frame_for_visualization;
+            # the real dataset ships 1920x1080 — the overlay scales PoG
+            # coordinates to the actual canvas size).
+            full_screen = np.zeros((N, 216, 384, 3), np.uint8)
+            for i in range(N):
+                full_screen[i] = min(5 + 6 * i, 250)
+            _write_video(os.path.join(d, 'screen.mp4'), full_screen, fps)
             np.savetxt(os.path.join(d, 'screen.timestamps.txt'),
                        timestamps, fmt='%d')
 

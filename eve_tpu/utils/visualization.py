@@ -24,16 +24,22 @@ COLOR_GT = [0, 0, 180]          # red
 
 
 def draw_pog_overlay(frame_bgr, to_draw, eyes_bgr=None, draw_gt_lines=True,
-                     gt=None, gt_validity=None, t=0):
+                     gt=None, gt_validity=None, t=0, ui_scale=1.0):
     """Draw one frame's overlay in place.
 
     Args:
       frame_bgr: (H, W, 3) uint8 screen frame (modified in place).
       to_draw: list of (label, PoG (T, 2), validity (T,), color_bgr).
       eyes_bgr: optional eye-strip image to inset bottom-right.
+      ui_scale: scales the fixed-size UI elements (legend, radii, inset),
+        whose reference dimensions assume a 1920-wide canvas. 1.0 on real
+        EVE recordings.
     """
+    def s(v, lo=1):
+        return max(lo, int(round(v * ui_scale)))
+
     if eyes_bgr is not None:
-        eyes = cv2.resize(eyes_bgr, (256, 128))
+        eyes = cv2.resize(eyes_bgr, (s(256), s(128)))
         eh, ew, _ = eyes.shape
         frame_bgr[-eh:, -ew:, :] = np.fliplr(eyes)
 
@@ -45,29 +51,31 @@ def draw_pog_overlay(frame_bgr, to_draw, eyes_bgr=None, draw_gt_lines=True,
                 continue
             x, y = int(pog[t, 0]), int(pog[t, 1])
             cv2.line(frame_bgr, (x, y), (x_gt, y_gt), color=[0, 0, 0],
-                     thickness=5, lineType=cv2.LINE_AA)
+                     thickness=s(5), lineType=cv2.LINE_AA)
             cv2.line(frame_bgr, (x, y), (x_gt, y_gt), color=color,
-                     thickness=2, lineType=cv2.LINE_AA)
+                     thickness=s(2), lineType=cv2.LINE_AA)
 
     for _, pog, validity, color in to_draw:
         if not validity[t]:
             continue
         x, y = int(pog[t, 0]), int(pog[t, 1])
-        cv2.circle(frame_bgr, (x, y), radius=14, color=[0, 0, 0],
+        cv2.circle(frame_bgr, (x, y), radius=s(14), color=[0, 0, 0],
                    thickness=-1, lineType=cv2.LINE_AA)
-        cv2.circle(frame_bgr, (x, y), radius=10, color=color,
+        cv2.circle(frame_bgr, (x, y), radius=s(10), color=color,
                    thickness=-1, lineType=cv2.LINE_AA)
 
     offset_dy = 0
     for label, _, _, color in to_draw:
-        org = (50, 90 + offset_dy)
+        org = (s(50), s(90) + offset_dy)
         cv2.putText(frame_bgr, label, org=org,
-                    fontFace=cv2.FONT_HERSHEY_DUPLEX, fontScale=1.6,
-                    color=[0, 0, 0], thickness=9, lineType=cv2.LINE_AA)
+                    fontFace=cv2.FONT_HERSHEY_DUPLEX,
+                    fontScale=1.6 * ui_scale,
+                    color=[0, 0, 0], thickness=s(9), lineType=cv2.LINE_AA)
         cv2.putText(frame_bgr, label, org=org,
-                    fontFace=cv2.FONT_HERSHEY_DUPLEX, fontScale=1.6,
-                    color=color, thickness=2, lineType=cv2.LINE_AA)
-        offset_dy += 80
+                    fontFace=cv2.FONT_HERSHEY_DUPLEX,
+                    fontScale=1.6 * ui_scale,
+                    color=color, thickness=s(2), lineType=cv2.LINE_AA)
+        offset_dy += s(80)
     return frame_bgr
 
 

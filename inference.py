@@ -51,6 +51,19 @@ def main():
                 np.stack([cv2.resize(f, (1920, 1080)) for f in clip])
                 for clip in sf])
 
+        # PoG predictions live in actual_screen_size (1920x1080) pixel
+        # coordinates (reference src/inference.py draws them on the 1080p
+        # recording directly); scale to the canvas so smaller stand-in
+        # recordings render correctly too. Identity on real EVE data.
+        canvas_h, canvas_w = screens.shape[2:4]
+        aw, ah = config.actual_screen_size
+        pog_scale = np.array([canvas_w / aw, canvas_h / ah], np.float32)
+        all_PoG_init = np.asarray(all_PoG_init) * pog_scale
+        if all_PoG_final is not None:
+            all_PoG_final = np.asarray(all_PoG_final) * pog_scale
+        if all_PoG_gt is not None:
+            all_PoG_gt = np.asarray(all_PoG_gt) * pog_scale
+
         eyes = None
         if 'left_eye_patch' in inputs:
             le = np.asarray(inputs['left_eye_patch'])
@@ -83,7 +96,7 @@ def main():
                     gt=all_PoG_gt[index] if we_have_gt else None,
                     gt_validity=(all_gt_validity[index].astype(bool)
                                  if we_have_gt else None),
-                    t=t)
+                    t=t, ui_scale=canvas_w / aw)
                 encoder.write(frame)
 
     encoder.close()

@@ -49,8 +49,8 @@ def test_inference_pipeline(dataset_root, clean_config, tmp_path):
         '--input-path', input_path, '--output-path', out_path,
         '--load-full-frame-for-visualization', 'no',
     ])
-    # The synthetic fixture has no full-frame screen mp4 at 1080p; the
-    # overlay path upscales screen content instead.
+    # Exercise the no-full-frame fallback (the overlay path upscales the
+    # 128x72 screen content); the CLI test below covers the full-frame path.
     config.override('load_full_frame_for_visualization', False)
     dataset, dataloader = infer.init_dataset(config)
     assert len(dataset) == 3
@@ -77,6 +77,30 @@ def test_inference_pipeline(dataset_root, clean_config, tmp_path):
     encoder.close()
     assert frames_written == 18  # 3 clips x 6 frames
     assert os.path.isfile(out_path) and os.path.getsize(out_path) > 1000
+
+
+def test_inference_cli_full_frame_overlay(dataset_root, clean_config,
+                                          tmp_path, monkeypatch):
+    """Drive inference.py's main() end to end with the full-resolution
+    screen recording loaded (load_full_frame_for_visualization default):
+    PoG coordinates and UI elements scale to the stand-in canvas size."""
+    import inference as inference_cli
+    input_path = os.path.join(dataset_root, 'val01', 'step008_image_test',
+                              'webcam_c.mp4')
+    out_path = str(tmp_path / 'overlay.mp4')
+    monkeypatch.setattr(sys, 'argv', ['inference.py'] + COMMON_FLAGS + [
+        '--datasrc-eve', dataset_root,
+        '--input-path', input_path, '--output-path', out_path,
+    ])
+    inference_cli.main()
+    assert os.path.isfile(out_path) and os.path.getsize(out_path) > 1000
+    import cv2
+    cap = cv2.VideoCapture(out_path)
+    # Canvas must be the recording's native size, not a hardcoded 1080p.
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 384
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 216
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 18  # 3 clips x 6 frames
+    cap.release()
 
 
 def test_eval_codalab_submission(dataset_root, clean_config, tmp_path):
