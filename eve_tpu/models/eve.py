@@ -428,7 +428,12 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
         'left_pupil_size': pupil_l, 'right_pupil_size': pupil_r,
     }
 
-    do_aug = training and spec.refine_net_do_offset_augmentation
+    # Kappa offset augmentation requires the head rotation; geometry-less
+    # inputs (the GazeCapture/MPIIGaze pretraining case, reference
+    # eve.py:550 — which only guards the PoG branch and would crash here)
+    # train on angular/pupil losses alone.
+    do_aug = (training and spec.refine_net_do_offset_augmentation and
+              'head_R' in full)
     if do_aug:
         un = g_to_pog(spec, full, g_l, g_r)
         for k, v in un.items():
@@ -617,7 +622,11 @@ def _suffixed(key, suffix):
 # ----------------------------------------------------------------------
 
 def calculate_losses_and_metrics(spec, full, interm, output, training):
-    do_aug = training and spec.refine_net_do_offset_augmentation
+    # Must mirror forward()'s do_aug condition: when augmentation was
+    # skipped, the *_unaugmented branches do not exist and the plain keys
+    # hold the unaugmented predictions.
+    do_aug = (training and spec.refine_net_do_offset_augmentation and
+              'head_R' in full)
 
     def have(d, k):
         return k in d

@@ -244,3 +244,39 @@ def test_streaming_chunked_inference_matches_full_clip():
             [np.asarray(o[key]) for o in outs], axis=1)
         np.testing.assert_allclose(streamed, np.asarray(full[key]),
                                    rtol=1e-4, atol=1e-3, err_msg=key)
+
+
+def test_forward_without_camera_geometry():
+    """GazeCapture/MPIIGaze-style pretraining input: eye patches + head pose
+    + gaze/pupil GT but NO camera extrinsics or screen geometry (reference
+    eve.py:550 guards only the PoG branch). Training must fall back to the
+    angular + pupil objective, with offset augmentation skipped (it needs
+    head_R), and gradients must flow."""
+    rng = np.random.RandomState(0)
+    batch = make_synthetic_batch(rng, batch_size=2, sequence_len=3,
+                                 eyes_size=32, with_screen=False)
+    keep = {'left_eye_patch', 'right_eye_patch', 'left_h', 'right_h',
+            'left_g_tobii', 'left_g_tobii_validity',
+            'right_g_tobii', 'right_g_tobii_validity',
+            'left_p', 'left_p_validity', 'right_p', 'right_p_validity',
+            'timestamps'}
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+    spec = eve_lib.EveSpec(refine_net_enabled=False)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+
+    out = eve_lib.forward(spec, params, batch, rng=jax.random.PRNGKey(1),
+                          training=True)
+    scalars = sorted(k for k, v in out.items()
+                     if hasattr(v, 'ndim') and v.ndim == 0)
+    assert scalars == ['full_loss', 'loss_ang_left_g_initial',
+                       'loss_ang_right_g_initial',
+                       'loss_l1_left_pupil_size',
+                       'loss_l1_right_pupil_size']
+    assert np.isfinite(float(out['full_loss']))
+
+    grads = jax.grad(lambda p: eve_lib.forward(
+        spec, p, batch, rng=jax.random.PRNGKey(1),
+        training=True)['full_loss'])(params)
+    total = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), grads, 0.0))
+    assert np.isfinite(total) and total > 0.0
