@@ -391,26 +391,38 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
 
     # --- Stage 2: temporal scan over the dense RNN stack only ---
     if spec.eye_net_use_rnn:
-        def gru_step(carry, xs):
-            sl, sr = carry
-            fl, fr = xs
-            ol, nsl = eye_net.apply(eye_params, fl, sl,
-                                    method=EyeNet.recurrent)
-            onr, nsr = eye_net.apply(eye_params, fr, sr,
-                                     method=EyeNet.recurrent)
-            return (nsl, nsr), (ol, onr)
+        # Both eyes share the cell weights, so stack them into one (2B, F)
+        # batch: ONE cell application per timestep instead of two. The scan
+        # is the only sequential region of the model — its wall-clock is
+        # dispatch-latency x step-count, so halving the per-step kernel
+        # count matters more than the (tiny) matmul size. Row-wise ops make
+        # this bit-identical to per-eye application.
+        def gru_step(carry, x):
+            out, new_carry = eye_net.apply(eye_params, x, carry,
+                                           method=EyeNet.recurrent)
+            return new_carry, out
+
+        def _stack(l, r):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), l, r)
+
+        def _split(lr):
+            return (jax.tree_util.tree_map(lambda a: a[:B], lr),
+                    jax.tree_util.tree_map(lambda a: a[B:], lr))
 
         if initial_states is not None:
-            init_states = (initial_states['eye_left'],
-                           initial_states['eye_right'])
+            init_states = _stack(initial_states['eye_left'],
+                                 initial_states['eye_right'])
         else:
-            init_states = (eye_net.init_state(B), eye_net.init_state(B))
-        (fin_l, fin_r), (out_l, out_r) = _scan(
+            init_states = eye_net.init_state(2 * B)
+        fin_lr, out_lr = _scan(
             gru_step, init_states,
-            (jnp.moveaxis(feats_l, 1, 0), jnp.moveaxis(feats_r, 1, 0)))
+            jnp.concatenate([jnp.moveaxis(feats_l, 1, 0),
+                             jnp.moveaxis(feats_r, 1, 0)], axis=1))
+        fin_l, fin_r = _split(fin_lr)
         final_states = {'eye_left': fin_l, 'eye_right': fin_r}
-        rnn_l = jnp.moveaxis(out_l, 0, 1)
-        rnn_r = jnp.moveaxis(out_r, 0, 1)
+        rnn_l = jnp.moveaxis(out_lr[:, :B], 0, 1)
+        rnn_r = jnp.moveaxis(out_lr[:, B:], 0, 1)
     else:
         rnn_l = eye_net.apply(eye_params, feats_l, method=EyeNet.static_path)
         rnn_r = eye_net.apply(eye_params, feats_r, method=EyeNet.static_path)
