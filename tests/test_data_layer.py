@@ -96,6 +96,30 @@ def test_dataset_padding(dataset_root, config, tmp_path):
     assert not item['left_PoG_tobii_validity'][2:].any()
 
 
+def test_basler_60fps_decimation(tmp_path_factory, config, tmp_path):
+    """The 60 fps basler camera decimates by 6 to the assumed 10 Hz (the
+    webcams by 3); the segmentation and decode must stay frame-exact."""
+    root = str(tmp_path_factory.mktemp('eve_synth_basler'))
+    write_synthetic_dataset(root, participants=('train01',),
+                            cameras=('basler',), num_frames=40)
+    segs = seg_lib.build_segmentation_cache(
+        root, 10, 6, cache_dir=str(tmp_path / 'segcache'))
+    cam = segs['train01']['step008_image_test']['basler']
+    # 80 basler frames at 60 fps: 6-frame windows cover 36 frames, skip 6.
+    assert cam[0] == [0, 6, 12, 18, 24, 30]
+    assert cam[1] == [36, 42, 48, 54, 60, 66]
+
+    ds = EVESequencesBase(
+        root, config=config, participants_to_use=['train01'],
+        cameras_to_use=['basler'], types_of_stimuli=['image'],
+        cache_dir=str(tmp_path / 'segcache'))
+    item = ds[0]
+    # Pixel values encode the frame index (5 + 6*i); patches are in [-1, 1].
+    for t, i in enumerate(cam[0]):
+        got = (float(item['left_eye_patch'][t].mean()) + 1.0) * (255.0 / 2.0)
+        assert abs(got - (5 + 6 * i)) < 4, (t, i, got)
+
+
 def test_rodrigues_roundtrip(dataset_root, config, tmp_path):
     ds = make_dataset(dataset_root, config, tmp_path)
     item = ds[0]
