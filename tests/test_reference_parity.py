@@ -289,3 +289,71 @@ def test_refine_net_full_vs_reference(ref):
                                    rtol=1e-3, atol=2e-4)
     finally:
         ref.config.override('load_screen_content', False)
+
+
+def test_losses_vs_reference(ref):
+    """All five loss classes against the reference implementations,
+    including the validity edge cases (all-invalid row: contributes 0;
+    exactly one valid frame: NOT normalized; several valid: mean)."""
+    sys.path.insert(0, REF_SRC)
+    try:
+        from losses.angular import AngularLoss
+        from losses.cross_entropy import CrossEntropyLoss
+        from losses.euclidean import EuclideanLoss
+        from losses.l1 import L1Loss
+        from losses.mse import MSELoss
+    finally:
+        sys.path.remove(REF_SRC)
+    import jax.numpy as jnp
+    from eve_tpu import losses as losses_lib
+    torch = ref.torch
+    rng = np.random.RandomState(13)
+    B, T = 4, 5
+    validity = np.ones((B, T), np.float32)
+    validity[1] = 0.0                     # all-invalid item
+    validity[2, 1:] = 0.0                 # exactly one valid frame
+    validity[3, ::2] = 0.0                # mixed
+
+    def compare(name, ref_loss, ours_fn, pred, gt):
+        ref_dict = {'k': _t(torch, gt), 'k_validity': _t(torch, validity)}
+        want = float(ref_loss(_t(torch, pred), 'k', ref_dict))
+        got = float(ours_fn(jnp.asarray(pred), jnp.asarray(gt),
+                            jnp.asarray(validity)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5,
+                                   err_msg=name)
+
+    pred2 = rng.uniform(-0.6, 0.6, (B, T, 2)).astype(np.float32)
+    gt2 = rng.uniform(-0.6, 0.6, (B, T, 2)).astype(np.float32)
+    compare('angular', AngularLoss(), losses_lib.angular_loss, pred2, gt2)
+    compare('mse', MSELoss(), losses_lib.mse_loss, pred2, gt2)
+    compare('euclidean', EuclideanLoss(), losses_lib.euclidean_loss,
+            pred2, gt2)
+
+    pred1 = rng.uniform(1, 5, (B, T)).astype(np.float32)
+    gt1 = rng.uniform(1, 5, (B, T)).astype(np.float32)
+    compare('l1', L1Loss(), losses_lib.l1_loss, pred1, gt1)
+
+    pred_hm = rng.uniform(0.02, 0.98, (B, T, 9, 16)).astype(np.float32)
+    gt_hm = rng.uniform(0.0, 1.0, (B, T, 9, 16)).astype(np.float32)
+    compare('bce', CrossEntropyLoss(), losses_lib.cross_entropy_loss,
+            pred_hm, gt_hm)
+
+
+def test_numpy_gaze_utils_vs_reference(ref):
+    """core/gaze.py numpy twins (distinct sign convention from the torch
+    ops — SURVEY.md section 2.1 'Numpy gaze utils')."""
+    sys.path.insert(0, REF_SRC)
+    try:
+        from core import gaze as ref_gaze
+    finally:
+        sys.path.remove(REF_SRC)
+    from eve_tpu.utils import gaze_np
+    rng = np.random.RandomState(17)
+    py_a = rng.uniform(-0.6, 0.6, (12, 2)).astype(np.float32)
+    py_b = rng.uniform(-0.6, 0.6, (12, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        gaze_np.pitchyaw_to_vector(py_a),
+        ref_gaze.pitchyaw_to_vector(py_a), atol=1e-6)
+    np.testing.assert_allclose(
+        gaze_np.angular_error(py_a, py_b),
+        ref_gaze.angular_error(py_a, py_b), atol=1e-4)
