@@ -357,3 +357,176 @@ def test_numpy_gaze_utils_vs_reference(ref):
     np.testing.assert_allclose(
         gaze_np.angular_error(py_a, py_b),
         ref_gaze.angular_error(py_a, py_b), atol=1e-4)
+
+
+def _install_torchvision_resnet_stub(torch):
+    """Faithful stand-in for torchvision.models.resnet.{ResNet, BasicBlock}
+    (topology and state-dict names exact; torchvision itself is not in this
+    image). Lets the reference EyeNet/EVE import so the composite logic can
+    be parity-tested; the CNN topology itself is additionally covered by
+    tests/test_resnet_parity.py."""
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1,
+                                   bias=False)
+            self.bn1 = norm_layer(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers, num_classes=1000,
+                     zero_init_residual=False, groups=1, width_per_group=64,
+                     replace_stride_with_dilation=None, norm_layer=None):
+            super().__init__()
+            norm_layer = norm_layer or nn.BatchNorm2d
+            self._norm_layer = norm_layer
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = norm_layer(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], 2)
+            self.layer3 = self._make_layer(block, 256, layers[2], 2)
+            self.layer4 = self._make_layer(block, 512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * block.expansion, num_classes)
+            for m in self.modules():
+                if isinstance(m, nn.Conv2d):
+                    nn.init.kaiming_normal_(m.weight, mode='fan_out',
+                                            nonlinearity='relu')
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            norm_layer = self._norm_layer
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                              stride, bias=False),
+                    norm_layer(planes * block.expansion))
+            layers = [block(self.inplanes, planes, stride, downsample,
+                            norm_layer=norm_layer)]
+            self.inplanes = planes * block.expansion
+            layers += [block(self.inplanes, planes, norm_layer=norm_layer)
+                       for _ in range(1, blocks)]
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x)
+            x = torch.flatten(x, 1)
+            return self.fc(x)
+
+    tv = sys.modules.setdefault('torchvision', types.ModuleType('torchvision'))
+    tvm = types.ModuleType('torchvision.models')
+    tvr = types.ModuleType('torchvision.models.resnet')
+    tvr.ResNet, tvr.BasicBlock = ResNet, BasicBlock
+    tvm.resnet = tvr
+    tv.models = tvm
+    sys.modules['torchvision.models'] = tvm
+    sys.modules['torchvision.models.resnet'] = tvr
+
+
+def test_full_eve_composite_vs_reference(ref):
+    """The whole EVE composite — label derivation, per-eye EyeNet (GRU),
+    gaze->screen projection, heatmap render, RefineNet (ConvGRU + screen),
+    soft-argmax, all ~20 losses/metrics — against the reference's own
+    eve.py forward with shared (converted) weights, eval mode."""
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.utils import torch_convert
+    torch = ref.torch
+    _install_torchvision_resnet_stub(torch)
+
+    overrides = {'refine_net_enabled': True, 'load_screen_content': True}
+    for k, v in overrides.items():
+        ref.config.override(k, v)
+    sys.path.insert(0, REF_SRC)
+    try:
+        import models.eve as ref_eve_mod
+        ref_model = ref_eve_mod.EVE(output_predictions=True)
+        ref_model.eval()
+
+        eye_sd = torch_convert.torch_state_dict_to_numpy(
+            ref_model.eye_net.state_dict())
+        refine_sd = torch_convert.torch_state_dict_to_numpy(
+            ref_model.refine_net.state_dict())
+        params = {'eye_net': torch_convert.convert_eye_net(eye_sd),
+                  'refine_net': torch_convert.convert_refine_net(refine_sd)}
+
+        rng = np.random.RandomState(23)
+        B, T = 2, 3
+        from eve_tpu.data.synthetic import make_synthetic_batch
+        batch_np = make_synthetic_batch(rng, batch_size=B, sequence_len=T,
+                                        eyes_size=128)
+
+        torch_batch = {}
+        for k, v in batch_np.items():
+            t = _t(torch, v)
+            if k.endswith('eye_patch') or k == 'screen_frame':
+                t = t.permute(0, 1, 4, 2, 3).contiguous()  # NHWC -> NCHW
+            elif k.endswith('_validity'):
+                t = t.bool()  # the real dataset ships uint8 validity flags
+            torch_batch[k] = t
+        with torch.no_grad():
+            out_ref = ref_model(torch_batch)
+
+        spec = eve_lib.EveSpec(refine_net_enabled=True,
+                               load_screen_content=True)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        out = eve_lib.forward(spec, params, batch, training=False,
+                              output_predictions=True)
+
+        def cmp(key, rtol, atol):
+            assert key in out_ref, 'reference lacks %s' % key
+            assert key in out, 'ours lacks %s' % key
+            np.testing.assert_allclose(
+                np.asarray(out[key], np.float32),
+                out_ref[key].detach().numpy().astype(np.float32),
+                rtol=rtol, atol=atol, err_msg=key)
+
+        cmp('left_pupil_size', 1e-3, 1e-3)
+        cmp('right_pupil_size', 1e-3, 1e-3)
+        cmp('g_initial', 1e-3, 2e-4)
+        cmp('PoG_px_initial', 1e-3, 0.5)
+        cmp('PoG_px_final', 1e-3, 1.0)
+        cmp('PoG_cm_final', 1e-3, 0.05)
+        cmp('g_final', 1e-3, 2e-4)
+        # Scalar losses/metrics (the full reference naming scheme).
+        scalar_keys = [k for k, v in out_ref.items()
+                       if hasattr(v, 'ndim') and v.ndim == 0]
+        assert 'metric_euc_PoG_px_final' in scalar_keys
+        assert 'loss_ce_heatmap_final' in scalar_keys
+        for k in scalar_keys:
+            if k not in out:
+                continue
+            want = float(out_ref[k])
+            got = float(out[k])
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3,
+                                       err_msg=k)
+        compared = [k for k in scalar_keys if k in out]
+        assert len(compared) >= 10, compared
+    finally:
+        sys.path.remove(REF_SRC)
+        for k in overrides:
+            ref.config.override(k, getattr(type(ref.config), k))
