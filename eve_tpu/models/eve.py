@@ -207,15 +207,21 @@ def calculate_additional_labels(spec: EveSpec, batch, rng, training):
                 batch[k + '_validity']
 
     if training and spec.refine_net_do_offset_augmentation:
-        assert rng is not None
         sample = next(iter(batch.values()))
         B, T = sample.shape[0], sample.shape[1]
         std = math.radians(spec.refine_net_offset_augmentation_sigma)
-        kl, kr = jax.random.split(rng)
-        for side, key in (('left', kl), ('right', kr)):
-            kappa = std * jax.random.normal(key, (B, 2), jnp.float32)
-            labels[side + '_kappa_fake'] = jnp.broadcast_to(
-                kappa[:, None, :], (B, T, 2))
+        if 'left_kappa_fake' in batch:
+            # Caller-supplied kappas (deterministic replay / debugging /
+            # parity testing); the reference always draws from np.random
+            # (eve.py:468) and offers no injection hook.
+            pass
+        else:
+            assert rng is not None
+            kl, kr = jax.random.split(rng)
+            for side, key in (('left', kl), ('right', kr)):
+                kappa = std * jax.random.normal(key, (B, 2), jnp.float32)
+                labels[side + '_kappa_fake'] = jnp.broadcast_to(
+                    kappa[:, None, :], (B, T, 2))
 
     if 'left_o' in batch:
         labels['o'] = 0.5 * (batch['left_o'] + batch['right_o'])

@@ -530,3 +530,87 @@ def test_full_eve_composite_vs_reference(ref):
         sys.path.remove(REF_SRC)
         for k in overrides:
             ref.config.override(k, getattr(type(ref.config), k))
+
+
+def test_full_eve_composite_training_mode_vs_reference(ref):
+    """Training-mode composite parity: the kappa offset-augmentation
+    branches (augmented predictions + *_unaugmented loss inputs) and the
+    training loss/metric wiring, with identical kappas on both sides (the
+    reference draws from the global np.random stream; ours accepts
+    caller-supplied kappas)."""
+    import jax.numpy as jnp
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.utils import torch_convert
+    torch = ref.torch
+    _install_torchvision_resnet_stub(torch)
+
+    overrides = {'refine_net_enabled': True, 'load_screen_content': True}
+    for k, v in overrides.items():
+        ref.config.override(k, v)
+    sys.path.insert(0, REF_SRC)
+    try:
+        import models.eve as ref_eve_mod
+        ref_model = ref_eve_mod.EVE(output_predictions=True)
+        ref_model.train()
+
+        params = {
+            'eye_net': torch_convert.convert_eye_net(
+                torch_convert.torch_state_dict_to_numpy(
+                    ref_model.eye_net.state_dict())),
+            'refine_net': torch_convert.convert_refine_net(
+                torch_convert.torch_state_dict_to_numpy(
+                    ref_model.refine_net.state_dict())),
+        }
+
+        rng = np.random.RandomState(29)
+        B, T = 2, 3
+        from eve_tpu.data.synthetic import make_synthetic_batch
+        batch_np = make_synthetic_batch(rng, batch_size=B, sequence_len=T,
+                                        eyes_size=128)
+
+        # Pin the kappas: the reference consumes the global np.random
+        # stream (left draw, then right — eve.py:468); replicate it.
+        std = np.radians(float(ref.config.refine_net_offset_augmentation_sigma))
+        np.random.seed(1234)
+        twin = np.random.RandomState(1234)
+        kappa_l = twin.normal(size=(B, 2), loc=0.0, scale=std)
+        kappa_r = twin.normal(size=(B, 2), loc=0.0, scale=std)
+
+        torch_batch = {}
+        for k, v in batch_np.items():
+            t = _t(torch, v)
+            if k.endswith('eye_patch') or k == 'screen_frame':
+                t = t.permute(0, 1, 4, 2, 3).contiguous()
+            elif k.endswith('_validity'):
+                t = t.bool()
+            torch_batch[k] = t
+        with torch.no_grad():
+            out_ref = ref_model({'eve': torch_batch}, current_epoch=0.0)
+
+        spec = eve_lib.EveSpec(refine_net_enabled=True,
+                               load_screen_content=True)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        batch['left_kappa_fake'] = jnp.asarray(np.repeat(
+            kappa_l[:, None].astype(np.float32), T, axis=1))
+        batch['right_kappa_fake'] = jnp.asarray(np.repeat(
+            kappa_r[:, None].astype(np.float32), T, axis=1))
+        out = eve_lib.forward(spec, params, batch, training=True,
+                              output_predictions=True)
+
+        scalar_keys = [k for k, v in out_ref.items()
+                       if hasattr(v, 'ndim') and v.ndim == 0]
+        # The augmentation-specific branches must be present on both sides.
+        assert 'metric_euc_PoG_px_initial_unaugmented' in scalar_keys
+        assert 'metric_euc_PoG_px_initial_unaugmented' in out
+        compared = 0
+        for k in scalar_keys:
+            if k not in out:
+                continue
+            np.testing.assert_allclose(float(out[k]), float(out_ref[k]),
+                                       rtol=2e-3, atol=2e-3, err_msg=k)
+            compared += 1
+        assert compared >= 12, compared
+    finally:
+        sys.path.remove(REF_SRC)
+        for k in overrides:
+            ref.config.override(k, getattr(type(ref.config), k))
