@@ -213,11 +213,14 @@ def test_gaze_history_map_vs_reference(ref):
                                    err_msg='t=%d' % t)
 
 
-def test_refine_net_full_vs_reference(ref):
-    """Full RefineNet (enc-dec pyramid + ConvGRU bottleneck + skips, screen
+@pytest.mark.parametrize('rnn_type', ['CGRU', 'CLSTM', 'CRNN'])
+def test_refine_net_full_vs_reference(ref, rnn_type):
+    """Full RefineNet (enc-dec pyramid + conv-RNN bottleneck + skips, screen
     content on) with the REFERENCE's own weights converted through
     torch_convert: per-timestep reference loop vs our batched encoder /
-    scanned cell / batched decoder."""
+    scanned cell / batched decoder. CLSTM pins the reference's carry-only
+    quirk (the cell output is discarded; only state advances —
+    refine_net.py:167-176)."""
     import jax
     import jax.numpy as jnp
     from eve_tpu.models.refine_net import RefineNet
@@ -225,6 +228,7 @@ def test_refine_net_full_vs_reference(ref):
     torch = ref.torch
 
     ref.config.override('load_screen_content', True)
+    ref.config.override('refine_net_rnn_type', rnn_type)
     try:
         net = ref.refine.RefineNet()
         # The final conv is zero-initialized (sigmoid -> 0.5 everywhere);
@@ -263,7 +267,8 @@ def test_refine_net_full_vs_reference(ref):
         # Ours: batched encoder -> scanned bottleneck -> batched decoder
         # (the same staging eve.forward uses).
         ours = RefineNet(load_screen_content=True, use_skip_connections=True,
-                         use_rnn=True, rnn_type='CGRU', num_features=64)
+                         use_rnn=True, rnn_type=rnn_type, num_features=64,
+                         clstm_carry_only=True)
         rnp = {'params': params}
         net_in = ours.apply(rnp, jnp.asarray(heatmap), jnp.asarray(screen),
                             screen_size=(128, 72),
@@ -289,6 +294,7 @@ def test_refine_net_full_vs_reference(ref):
                                    rtol=1e-3, atol=2e-4)
     finally:
         ref.config.override('load_screen_content', False)
+        ref.config.override('refine_net_rnn_type', 'CGRU')
 
 
 def test_losses_vs_reference(ref):
