@@ -452,11 +452,13 @@ def _install_torchvision_resnet_stub(torch):
     sys.modules['torchvision.models.resnet'] = tvr
 
 
-def test_full_eve_composite_vs_reference(ref):
-    """The whole EVE composite — label derivation, per-eye EyeNet (GRU),
-    gaze->screen projection, heatmap render, RefineNet (ConvGRU + screen),
-    soft-argmax, all ~20 losses/metrics — against the reference's own
-    eve.py forward with shared (converted) weights, eval mode."""
+@pytest.mark.parametrize('eye_rnn', ['GRU', 'LSTM', 'RNN'])
+def test_full_eve_composite_vs_reference(ref, eye_rnn):
+    """The whole EVE composite — label derivation, per-eye EyeNet (each
+    dense RNN cell type), gaze->screen projection, heatmap render,
+    RefineNet (ConvGRU + screen), soft-argmax, all ~20 losses/metrics —
+    against the reference's own eve.py forward with shared (converted)
+    weights, eval mode."""
     import jax
     import jax.numpy as jnp
     from eve_tpu.models import eve as eve_lib
@@ -464,7 +466,8 @@ def test_full_eve_composite_vs_reference(ref):
     torch = ref.torch
     _install_torchvision_resnet_stub(torch)
 
-    overrides = {'refine_net_enabled': True, 'load_screen_content': True}
+    overrides = {'refine_net_enabled': True, 'load_screen_content': True,
+                 'eye_net_rnn_type': eye_rnn}
     for k, v in overrides.items():
         ref.config.override(k, v)
     sys.path.insert(0, REF_SRC)
@@ -498,7 +501,8 @@ def test_full_eve_composite_vs_reference(ref):
             out_ref = ref_model(torch_batch)
 
         spec = eve_lib.EveSpec(refine_net_enabled=True,
-                               load_screen_content=True)
+                               load_screen_content=True,
+                               eye_net_rnn_type=eye_rnn)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         out = eve_lib.forward(spec, params, batch, training=False,
                               output_predictions=True)
