@@ -180,6 +180,14 @@ class DefaultConfig(object):
     # Directory for jax.profiler traces ('' disables).
     profile_dir = ''
 
+    # HTTP serving (serve.py): bind address/port and micro-batching knobs.
+    # Requests are gathered for up to serve_max_delay_ms (or until
+    # serve_max_batch are pending) and run as one padded device step.
+    serve_host = '127.0.0.1'
+    serve_port = 8000
+    serve_max_batch = 8
+    serve_max_delay_ms = 5.0
+
     # Reference-compat switches: replicate reference quirks bit-for-bit
     # (LambdaLR absolute-vs-factor LR mixup; CLSTM bottleneck output discard).
     # See SURVEY.md section 7 "Hard parts" item 4.

@@ -1,0 +1,354 @@
+"""Production serving engine: micro-batched, stateful EVE inference.
+
+The reference has no serving path (its inference is a batch script,
+``/root/reference/src/inference.py``); this module is a TPU-native addition
+for deployment. Design:
+
+- One jitted forward compiled for a fixed ``(max_batch, T, ...)`` shape;
+  partial batches are padded so there is exactly one compilation per input
+  signature (XLA static shapes).
+- A background batcher thread gathers requests from a queue for up to
+  ``max_delay_ms`` (or until ``max_batch`` are pending) and dispatches them
+  as one device step — trading a small, bounded latency for MXU-efficient
+  batch sizes.
+- Sessions: a session carries the recurrent state (EyeNet GRU, RefineNet
+  ConvGRU, gaze-history map) across consecutive chunks of one video via
+  ``eve_tpu.models.eve.init_stream_state`` / ``forward(initial_states=...)``,
+  so results match processing the whole video as one clip. Chunks of the
+  same session are processed strictly in submission order (a chunk whose
+  session already has one in the current batch is deferred to the next).
+  Requests without a session get fresh state each time (the reference's
+  per-clip semantics).
+
+The HTTP front-end (``EveHTTPServer``) is a thin stdlib wrapper: numpy
+``.npz`` request/response bodies, so no extra dependencies.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+import uuid
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eve_tpu.models import eve as eve_lib
+
+logger = logging.getLogger(__name__)
+
+# Outputs served over HTTP by default: the quantities the reference's
+# evaluation pipeline scores (src/eval_codalab.py:73-88) plus gaze vectors.
+DEFAULT_SERVED_OUTPUTS = (
+    'PoG_px_initial', 'PoG_px_final', 'PoG_cm_final',
+    'left_pupil_size', 'right_pupil_size', 'g_initial', 'g_final',
+)
+
+
+@dataclass
+class _Request:
+    inputs: Dict[str, np.ndarray]  # per-clip arrays, leading dim T
+    session_id: Optional[str]
+    future: Future = field(default_factory=Future)
+    signature: tuple = ()
+    enqueued_at: float = 0.0
+
+
+class Session:
+    """Recurrent state + ordering lock for one video stream."""
+
+    def __init__(self, session_id, state):
+        self.session_id = session_id
+        self.state = state  # host numpy pytree, leading dim 1
+        self.chunks_processed = 0
+
+
+class ServingEngine:
+    """Micro-batching inference engine over one jitted EVE forward."""
+
+    def __init__(self, spec, params, *, max_batch=8, max_delay_ms=5.0,
+                 served_outputs=None):
+        self.spec = spec
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.served_outputs = tuple(served_outputs or ())
+        self._params = jax.device_put(params)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._sessions: Dict[str, Session] = {}
+        self._sessions_lock = threading.Lock()
+        self._zero_state = jax.tree.map(
+            np.asarray, eve_lib.init_stream_state(spec, 1))
+        self._jit_cache = {}
+        self.stats = {
+            'requests': 0, 'batches': 0, 'batched_slots': 0,
+            'errors': 0, 'sessions_opened': 0,
+        }
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name='eve-serving-batcher')
+        self._thread.start()
+
+    # ---------------- public API ----------------
+
+    def open_session(self, session_id=None):
+        """Allocate fresh recurrent state; returns the session id."""
+        session_id = session_id or uuid.uuid4().hex
+        with self._sessions_lock:
+            if session_id in self._sessions:
+                raise ValueError('session exists: %s' % session_id)
+            self._sessions[session_id] = Session(
+                session_id, jax.tree.map(np.copy, self._zero_state))
+            self.stats['sessions_opened'] += 1
+        return session_id
+
+    def close_session(self, session_id):
+        with self._sessions_lock:
+            self._sessions.pop(session_id, None)
+
+    def submit(self, inputs, session_id=None) -> Future:
+        """Enqueue one clip (arrays with leading dim T); returns a Future.
+
+        The future resolves to the model's output dict with per-sample
+        arrays (batch dim stripped). With a ``session_id``, recurrent state
+        is carried from this session's previous chunk.
+        """
+        if session_id is not None:
+            with self._sessions_lock:
+                if session_id not in self._sessions:
+                    raise KeyError('unknown session: %s' % session_id)
+        req = _Request(
+            inputs={k: np.asarray(v) for k, v in inputs.items()},
+            session_id=session_id,
+            enqueued_at=time.perf_counter())
+        req.signature = tuple(sorted(
+            (k, v.shape, str(v.dtype)) for k, v in req.inputs.items()))
+        self._queue.put(req)
+        return req.future
+
+    def infer(self, inputs, session_id=None, timeout=120.0):
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(inputs, session_id).result(timeout=timeout)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+
+    # ---------------- batcher ----------------
+
+    def _loop(self):
+        deferred: List[_Request] = []
+        while not self._stop.is_set():
+            reqs: List[_Request] = []
+            sessions_in_batch = set()
+            # Seed from deferred (ordering: oldest first), else block briefly.
+            pending = deferred
+            deferred = []
+            for r in pending:
+                self._try_add(r, reqs, deferred, sessions_in_batch)
+            if not reqs:
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                self._try_add(first, reqs, deferred, sessions_in_batch)
+                if not reqs:
+                    continue
+            deadline = time.perf_counter() + self.max_delay_s
+            while len(reqs) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    r = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                self._try_add(r, reqs, deferred, sessions_in_batch)
+            try:
+                self._dispatch(reqs)
+            except Exception as e:  # pragma: no cover - defensive
+                self.stats['errors'] += len(reqs)
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _try_add(self, r, reqs, deferred, sessions_in_batch):
+        """Add request unless its session already has a chunk in the batch
+        or the signature differs (both defer to a later batch)."""
+        if reqs and r.signature != reqs[0].signature:
+            deferred.append(r)
+            return False
+        if r.session_id is not None and r.session_id in sessions_in_batch:
+            deferred.append(r)
+            return False
+        if len(reqs) >= self.max_batch:
+            deferred.append(r)
+            return False
+        reqs.append(r)
+        if r.session_id is not None:
+            sessions_in_batch.add(r.session_id)
+        return True
+
+    def _get_jit(self, signature):
+        fn = self._jit_cache.get(signature)
+        if fn is None:
+            spec = self.spec
+
+            @jax.jit
+            def step(params, batch, states):
+                return eve_lib.forward(
+                    spec, params, batch, training=False,
+                    output_predictions=True,
+                    initial_states=states, return_states=True)
+
+            fn = self._jit_cache[signature] = step
+        return fn
+
+    def _dispatch(self, reqs: List[_Request]):
+        n = len(reqs)
+        pad = self.max_batch - n
+        batch = {}
+        for k in reqs[0].inputs:
+            stacked = np.stack([r.inputs[k] for r in reqs])
+            if pad:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], pad, axis=0)])
+            batch[k] = stacked
+        # Stack per-slot states: session state, or fresh zero state.
+        slot_states = []
+        sessions: List[Optional[Session]] = []
+        with self._sessions_lock:
+            for r in reqs:
+                s = self._sessions.get(r.session_id) \
+                    if r.session_id is not None else None
+                sessions.append(s)
+                slot_states.append(s.state if s else self._zero_state)
+        for _ in range(pad):
+            slot_states.append(self._zero_state)
+        states = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0), *slot_states)
+
+        step = self._get_jit(reqs[0].signature)
+        outputs = step(self._params, batch, states)
+        new_states = outputs.pop('states')
+        new_states = jax.tree.map(np.asarray, new_states)
+        host = {k: np.asarray(v) for k, v in outputs.items()
+                if hasattr(v, 'shape')}
+
+        with self._sessions_lock:
+            for i, s in enumerate(sessions):
+                # Session may have been closed mid-flight; drop state then.
+                if s is not None and s.session_id in self._sessions:
+                    # Copy (not slice-view) so the per-session state doesn't
+                    # pin the whole batch-sized array in memory.
+                    s.state = jax.tree.map(
+                        lambda x, idx=i: np.copy(x[idx:idx + 1]), new_states)
+                    s.chunks_processed += 1
+        for i, r in enumerate(reqs):
+            per_sample = {}
+            for k, v in host.items():
+                if v.ndim >= 1 and v.shape[0] == self.max_batch:
+                    per_sample[k] = v[i]
+                elif v.ndim == 0:
+                    per_sample[k] = v
+            r.future.set_result(per_sample)
+        self.stats['requests'] += n
+        self.stats['batches'] += 1
+        self.stats['batched_slots'] += n
+
+
+# ----------------------------------------------------------------------
+# HTTP front-end (stdlib only; npz bodies)
+# ----------------------------------------------------------------------
+
+def _npz_bytes(arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def _npz_parse(body):
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
+                     served_outputs=DEFAULT_SERVED_OUTPUTS):
+    """Build a ``ThreadingHTTPServer`` exposing the engine.
+
+    Routes:
+      GET  /healthz                      -> {"status": "ok"}
+      GET  /v1/stats                     -> engine stats JSON
+      POST /v1/sessions                  -> {"session_id": ...}
+      DELETE /v1/sessions/<id>           -> {}
+      POST /v1/infer  (npz body; optional X-Session-Id header)
+           -> npz of served output arrays
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = 'HTTP/1.1'
+
+        def log_message(self, fmt, *args):
+            logger.debug('http: ' + fmt, *args)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _bytes(self, code, body, ctype='application/octet-stream'):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._json(200, {'status': 'ok'})
+            elif self.path == '/v1/stats':
+                self._json(200, dict(engine.stats))
+            else:
+                self._json(404, {'error': 'not found'})
+
+        def do_POST(self):
+            try:
+                if self.path == '/v1/sessions':
+                    self._json(200, {'session_id': engine.open_session()})
+                    return
+                if self.path == '/v1/infer':
+                    length = int(self.headers.get('Content-Length', 0))
+                    inputs = _npz_parse(self.rfile.read(length))
+                    sid = self.headers.get('X-Session-Id') or None
+                    out = engine.infer(inputs, session_id=sid)
+                    served = {k: out[k] for k in served_outputs if k in out}
+                    self._bytes(200, _npz_bytes(served))
+                    return
+                self._json(404, {'error': 'not found'})
+            except KeyError as e:
+                self._json(404, {'error': str(e)})
+            except Exception as e:  # noqa: BLE001
+                logger.exception('request failed')
+                self._json(500, {'error': repr(e)})
+
+        def do_DELETE(self):
+            prefix = '/v1/sessions/'
+            if self.path.startswith(prefix):
+                engine.close_session(self.path[len(prefix):])
+                self._json(200, {})
+            else:
+                self._json(404, {'error': 'not found'})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Serve EVE gaze inference over HTTP (TPU-native addition; no reference
+equivalent — the reference's inference is a batch script).
+
+Usage:
+    python serve.py [config.json ...] [--flags] \
+        --resume-from <run_dir> [--serve-port 8000] [--serve-max-batch 8]
+
+Protocol (stdlib HTTP, numpy .npz bodies): see eve_tpu/serve.py.
+A client streams consecutive T-frame chunks of one video through a session
+to carry the recurrent state (EyeNet GRU / RefineNet ConvGRU / gaze
+history) across chunk boundaries:
+
+    POST /v1/sessions                 -> {"session_id": s}
+    POST /v1/infer (X-Session-Id: s, body=npz of model inputs)
+                                      -> npz of PoG/pupil/gaze outputs
+    DELETE /v1/sessions/s
+"""
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.train import harness
+
+    config = DefaultConfig()
+    config.override('fully_reproducible', True)
+    harness.script_init_common(argv=argv,
+                               description='Serve EVE inference over HTTP.')
+
+    from eve_tpu import infer as infer_lib
+    from eve_tpu.serve import ServingEngine, make_http_server
+
+    spec, params = infer_lib.model_setup(config)
+    engine = ServingEngine(
+        spec, params,
+        max_batch=config.serve_max_batch,
+        max_delay_ms=config.serve_max_delay_ms)
+    server = make_http_server(engine, host=config.serve_host,
+                              port=config.serve_port)
+    logger.info('serving on http://%s:%d (max_batch=%d, max_delay=%.1fms)',
+                *server.server_address, config.serve_max_batch,
+                config.serve_max_delay_ms)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,184 @@
+"""Tests for the serving engine and HTTP front-end (eve_tpu/serve.py).
+
+The engine is a TPU-native addition (the reference has no serving path);
+these tests pin its contract: micro-batched results equal direct forwards,
+session state carries across chunks exactly like streaming inference, and
+same-session chunks are processed in submission order even when submitted
+concurrently.
+"""
+
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eve_tpu.data.synthetic import make_synthetic_batch
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.serve import (DEFAULT_SERVED_OUTPUTS, ServingEngine,
+                           make_http_server)
+
+
+@pytest.fixture(scope='module')
+def spec():
+    return eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True)
+
+
+@pytest.fixture(scope='module')
+def params(spec):
+    return eve_lib.init_params(spec, jax.random.PRNGKey(0))
+
+
+def _clips(seed, n, T=3):
+    """n single-clip input dicts (leading dim T, no batch dim)."""
+    rng = np.random.RandomState(seed)
+    batch = make_synthetic_batch(rng, batch_size=n, sequence_len=T,
+                                 eyes_size=32)
+    return [{k: v[i] for k, v in batch.items()} for i in range(n)]
+
+
+def _direct(spec, params, clip):
+    batch = {k: jnp.asarray(v)[None] for k, v in clip.items()}
+    return eve_lib.forward(spec, params, batch, training=False,
+                           output_predictions=True)
+
+
+def test_engine_matches_direct_forward(spec, params):
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=20.0)
+    try:
+        clips = _clips(0, 3)
+        futures = [engine.submit(c) for c in clips]
+        results = [f.result(timeout=300) for f in futures]
+        for clip, res in zip(clips, results):
+            ref = _direct(spec, params, clip)
+            for key in ('PoG_px_initial', 'PoG_px_final',
+                        'left_pupil_size'):
+                np.testing.assert_allclose(
+                    res[key], np.asarray(ref[key])[0],
+                    rtol=1e-4, atol=1e-3, err_msg=key)
+        # 3 requests submitted back-to-back should share batches.
+        assert engine.stats['requests'] == 3
+        assert engine.stats['batches'] <= 3
+    finally:
+        engine.stop()
+
+
+def test_session_state_matches_streaming(spec, params):
+    """Chunks through a session == the full clip in one forward."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    try:
+        T = 4
+        [clip] = _clips(1, 1, T=T)
+        sid = engine.open_session()
+        outs = []
+        for t0 in (0, T // 2):
+            chunk = {k: (v[t0:t0 + T // 2] if v.ndim >= 1 and
+                         v.shape[0] == T else v)
+                     for k, v in clip.items()}
+            outs.append(engine.infer(chunk, session_id=sid, timeout=300))
+        engine.close_session(sid)
+
+        full = _direct(spec, params, clip)
+        for key in ('PoG_px_initial', 'PoG_px_final', 'left_pupil_size'):
+            streamed = np.concatenate([o[key] for o in outs], axis=0)
+            np.testing.assert_allclose(streamed, np.asarray(full[key])[0],
+                                       rtol=1e-4, atol=1e-3, err_msg=key)
+    finally:
+        engine.stop()
+
+
+def test_concurrent_sessions_stay_isolated_and_ordered(spec, params):
+    """Two sessions' interleaved chunks give each session the same results
+    as its own sequential streaming run; same-session chunks submitted
+    together are processed in order (the engine defers the second)."""
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=20.0)
+    try:
+        T = 4
+        clips = _clips(2, 2, T=T)
+        sids = [engine.open_session() for _ in clips]
+        futures = {0: [], 1: []}
+        # Submit both chunks of both sessions at once.
+        for t0 in (0, T // 2):
+            for i, (clip, sid) in enumerate(zip(clips, sids)):
+                chunk = {k: (v[t0:t0 + T // 2] if v.ndim >= 1 and
+                             v.shape[0] == T else v)
+                         for k, v in clip.items()}
+                futures[i].append(engine.submit(chunk, session_id=sid))
+        for i, clip in enumerate(clips):
+            outs = [f.result(timeout=300) for f in futures[i]]
+            full = _direct(spec, params, clip)
+            for key in ('PoG_px_final', 'left_pupil_size'):
+                streamed = np.concatenate([o[key] for o in outs], axis=0)
+                np.testing.assert_allclose(
+                    streamed, np.asarray(full[key])[0],
+                    rtol=1e-4, atol=1e-3, err_msg=f'session{i}:{key}')
+    finally:
+        engine.stop()
+
+
+def test_unknown_session_rejected(spec, params):
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    try:
+        [clip] = _clips(3, 1)
+        with pytest.raises(KeyError):
+            engine.submit(clip, session_id='nope')
+    finally:
+        engine.stop()
+
+
+def test_http_server_round_trip(spec, params):
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    server = make_http_server(engine, host='127.0.0.1', port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+
+        conn.request('GET', '/healthz')
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())['status'] == 'ok'
+
+        conn.request('POST', '/v1/sessions')
+        sid = json.loads(conn.getresponse().read())['session_id']
+
+        [clip] = _clips(4, 1)
+        buf = io.BytesIO()
+        np.savez(buf, **clip)
+        conn.request('POST', '/v1/infer', body=buf.getvalue(),
+                     headers={'X-Session-Id': sid,
+                              'Content-Length': str(len(buf.getvalue()))})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with np.load(io.BytesIO(resp.read())) as z:
+            out = {k: z[k] for k in z.files}
+        assert set(out) <= set(DEFAULT_SERVED_OUTPUTS)
+        ref = _direct(spec, params, clip)
+        np.testing.assert_allclose(out['PoG_px_final'],
+                                   np.asarray(ref['PoG_px_final'])[0],
+                                   rtol=1e-4, atol=1e-3)
+
+        conn.request('GET', '/v1/stats')
+        stats = json.loads(conn.getresponse().read())
+        assert stats['requests'] >= 1
+
+        conn.request('DELETE', '/v1/sessions/' + sid)
+        resp = conn.getresponse()
+        resp.read()  # drain keep-alive body before the next request
+        assert resp.status == 200
+
+        # Inference against the deleted session 404s.
+        conn.request('POST', '/v1/infer', body=buf.getvalue(),
+                     headers={'X-Session-Id': sid,
+                              'Content-Length': str(len(buf.getvalue()))})
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 404
+    finally:
+        server.shutdown()
+        engine.stop()
