@@ -49,10 +49,17 @@ def main():
         use_pallas=not args.no_pallas)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
-    batch = make_synthetic_batch(
-        rng, batch_size=args.batch, sequence_len=args.seq, eyes_size=128,
-        frame_dtype=np.uint8 if args.input_dtype == 'uint8' else np.float32)
-    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+    # Several distinct device-resident batches, cycled in the timing loop so
+    # every dispatch has fresh inputs (guards against any result memoization
+    # between identical executions in the serving stack).
+    n_variants = 4
+    batches = []
+    for _ in range(n_variants):
+        batch = make_synthetic_batch(
+            rng, batch_size=args.batch, sequence_len=args.seq, eyes_size=128,
+            frame_dtype=np.uint8 if args.input_dtype == 'uint8' else np.float32)
+        batches.append(
+            {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()})
 
     @jax.jit
     def infer(params, batch):
@@ -62,14 +69,13 @@ def main():
                 out['left_pupil_size'], out['right_pupil_size'])
 
     # Warmup / compile
-    out = infer(params, batch)
-    jax.block_until_ready(out)
-    out = infer(params, batch)
+    for batch in batches:
+        out = infer(params, batch)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = infer(params, batch)
+    for i in range(args.iters):
+        out = infer(params, batches[i % n_variants])
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
     fps = args.batch * args.seq * args.iters / elapsed
