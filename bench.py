@@ -28,7 +28,13 @@ def main():
     parser.add_argument('--batch', type=int, default=16)
     parser.add_argument('--seq', type=int, default=30)
     parser.add_argument('--iters', type=int, default=20)
-    parser.add_argument('--no-pallas', action='store_true')
+    parser.add_argument('--pallas', action='store_true',
+                        help='enable the Pallas heatmap kernels (off by '
+                             'default: XLA formulations are at roofline and '
+                             'the soft-argmax kernel crashes the current '
+                             'Mosaic toolchain, BASELINE.md)')
+    parser.add_argument('--no-pallas', action='store_true',
+                        help='(deprecated, now the default)')
     parser.add_argument('--no-baseline', action='store_true')
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
@@ -46,7 +52,7 @@ def main():
     spec = eve_lib.EveSpec(
         refine_net_enabled=True, load_screen_content=True,
         compute_dtype=args.dtype,
-        use_pallas=not args.no_pallas)
+        use_pallas=args.pallas)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     # Several distinct device-resident batches, cycled in the timing loop so

@@ -158,7 +158,12 @@ class DefaultConfig(object):
     tpu_compute_dtype = 'float32'
 
     # Use fused Pallas kernels for heatmap render / soft-argmax on TPU.
-    tpu_use_pallas = True
+    # Default off: the XLA formulations of both ops measure at the HBM
+    # roofline on v5e (~0.03 ms each at N=480, BASELINE.md), and the
+    # soft-argmax kernel SIGABRTs the current Mosaic toolchain's vector
+    # layout inference. The kernels remain available (and interpret-tested)
+    # for toolchains where they help.
+    tpu_use_pallas = False
 
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0

@@ -59,36 +59,53 @@ def pallas_make_heatmaps(centres_px, sigma, heatmap_size=(HEATMAP_W, HEATMAP_H),
 
 
 def _softargmax_kernel(hm_ref, out_ref, *, beta, h, w, sw, sh):
-    x = hm_ref[0].astype(jnp.float32)
-    m = jnp.max(x)
+    # Block of BN maps; all reductions vectorized over the sample axis so
+    # the expensive cross-lane reduces amortize over the whole block
+    # (one map per grid step measured ~15x slower: pure launch/reduce
+    # overhead at 480 tiny steps, BASELINE.md). Every intermediate stays
+    # rank >= 2 with keepdims reductions and 3-D iotas: rank-1 vectors and
+    # squeeze-reshapes trip Mosaic's vector layout inference (SIGABRT in
+    # inferReshape) on this toolchain.
+    x = hm_ref[...].astype(jnp.float32)                     # (BN, h, w)
+    m = jnp.max(x, axis=(1, 2), keepdims=True)              # (BN, 1, 1)
     p = jnp.exp(beta * (x - m))
-    total = jnp.sum(p)
+    total = jnp.sum(p, axis=(1, 2), keepdims=True)          # (BN, 1, 1)
     # Coordinate grids in [0, 1] (linspace with endpoint=True)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32) / (w - 1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32) / (h - 1)
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, (1, h, w), 2).astype(jnp.float32) / (w - 1)
+    ys = jax.lax.broadcasted_iota(
+        jnp.int32, (1, h, w), 1).astype(jnp.float32) / (h - 1)
     inv = 1.0 / total
-    px = jnp.sum(p * xs) * inv * sw
-    py = jnp.sum(p * ys) * inv * sh
-    i = pl.program_id(0)
-    out_ref[i, 0] = jnp.clip(px, 0.0, sw)
-    out_ref[i, 1] = jnp.clip(py, 0.0, sh)
+    px = jnp.sum(p * xs, axis=(1, 2), keepdims=True) * inv * sw
+    py = jnp.sum(p * ys, axis=(1, 2), keepdims=True) * inv * sh
+    out = jnp.concatenate(
+        [jnp.clip(px, 0.0, sw), jnp.clip(py, 0.0, sh)], axis=2)
+    out_ref[...] = out                                       # (BN, 1, 2)
 
 
 def pallas_soft_argmax(heatmaps, heatmap_size=(HEATMAP_W, HEATMAP_H),
                        actual_screen_size=(1920.0, 1080.0), beta=100.0,
-                       interpret=False):
+                       block_n=16, interpret=False):
     """(N, H, W) heatmaps -> (N, 2) screen-px coordinates (float32)."""
     w, h = heatmap_size
     n = heatmaps.shape[0]
+    bn = min(block_n, n)
+    pad = (-n) % bn
+    if pad:
+        # Padded maps soft-argmax to garbage rows that are sliced off.
+        heatmaps = jnp.concatenate(
+            [heatmaps, jnp.zeros((pad, h, w), heatmaps.dtype)], axis=0)
     kernel = functools.partial(
         _softargmax_kernel, beta=float(beta), h=h, w=w,
         sw=float(actual_screen_size[0]), sh=float(actual_screen_size[1]))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        grid=((n + pad) // bn,),
+        in_specs=[pl.BlockSpec((bn, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
+        out_specs=pl.BlockSpec((bn, 1, 2), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + pad, 1, 2), jnp.float32),
         interpret=interpret,
     )(heatmaps)
+    return out[:n, 0] if pad else out[:, 0]

@@ -30,20 +30,36 @@ def instance_norm(x, weight=None, bias=None, eps=1e-5):
     """InstanceNorm2d over NHWC input (normalize per-sample, per-channel).
 
     Matches ``torch.nn.InstanceNorm2d`` (biased variance, no running stats).
-    Statistics and the centered/normalized intermediate are float32 (the
-    bf16 stability island, SURVEY.md section 7 item 5); the result is cast
-    back to the input dtype. XLA fuses the casts into the surrounding
-    elementwise chain, so no extra f32 HBM round trip was measurable.
+    Statistics are always float32 (the bf16 stability island, SURVEY.md
+    section 7 item 5). For float32 inputs the centered two-pass form is kept
+    (bit-stable for the torch parity suite). For bf16 inputs the elementwise
+    math runs in bf16 as ``x * scale + shift`` with f32-accumulated one-pass
+    statistics: the f32 centered intermediate the two-pass form materializes
+    doubles the HBM traffic of this bandwidth-bound model — the fused form
+    measured 1.13x on the RefineNet encoder/decoder band with zero output
+    delta in bf16 (BASELINE.md).
     """
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True, dtype=jnp.float32)
+        xc = x - mean
+        var = jnp.mean(jnp.square(xc), axis=(-3, -2), keepdims=True)
+        y = xc * jax.lax.rsqrt(var + eps)
+        if weight is not None:
+            y = y * weight
+        if bias is not None:
+            y = y + bias
+        return y
     mean = jnp.mean(x, axis=(-3, -2), keepdims=True, dtype=jnp.float32)
-    xc = x.astype(jnp.float32) - mean
-    var = jnp.mean(jnp.square(xc), axis=(-3, -2), keepdims=True)
-    y = xc * jax.lax.rsqrt(var + eps)
+    ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(-3, -2),
+                   keepdims=True)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
     if weight is not None:
-        y = y * weight
+        scale = scale * weight
+    shift = -mean * scale
     if bias is not None:
-        y = y + bias
-    return y.astype(x.dtype)
+        shift = shift + bias
+    return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class InstanceNorm(nn.Module):
