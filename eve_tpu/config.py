@@ -168,6 +168,17 @@ class DefaultConfig(object):
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
 
+    # Multi-host: initialize the JAX distributed runtime at script start
+    # (jax.distributed.initialize). On TPU pods the coordinator/world
+    # size/rank auto-detect — leave the fields below empty; set them
+    # explicitly for CPU/GPU clusters. After init, the harness slices the
+    # clip list per host and assembles global batches
+    # (eve_tpu/parallel/mesh.py:initialize_multihost).
+    tpu_multihost = False
+    tpu_coordinator_address = ''
+    tpu_num_processes = 0
+    tpu_process_id = -1
+
     # Rematerialize CNN activations in the backward pass (jax.checkpoint):
     # trades one extra forward of FLOPs for much lower activation memory,
     # enabling larger batch*sequence per chip.

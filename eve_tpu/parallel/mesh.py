@@ -19,6 +19,34 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Initialize the JAX distributed runtime for a multi-host run.
+
+    On TPU pods every argument auto-detects from the TPU metadata
+    (``jax.distributed.initialize()`` with no args); for CPU/GPU clusters
+    and the two-process CPU test (tests/test_multihost.py) pass the
+    coordinator address / world size / rank explicitly. Idempotent: a
+    second call is a no-op.
+
+    This is the replacement for the communication backends the reference
+    never had (SURVEY.md section 2.4): after this call, ``jax.devices()``
+    is the global device set, collectives compile over ICI/DCN, and the
+    harness's per-host data slicing + ``make_array_from_process_local_data``
+    assembly become active (eve_tpu/train/harness.py).
+    """
+    if jax._src.distributed.global_state.client is not None:  # noqa: SLF001
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address:
+        kwargs['coordinator_address'] = coordinator_address
+    if num_processes:
+        kwargs['num_processes'] = int(num_processes)
+    if process_id is not None and process_id >= 0:
+        kwargs['process_id'] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(num_devices=0, axis_name='data', devices=None):
     """1-D mesh over the first ``num_devices`` devices (0 = all)."""
     if devices is None:

@@ -92,6 +92,15 @@ def script_init_common(argv=None, description='Train a gaze estimation model.'):
     })
 
     np.random.seed(0)
+
+    if config.tpu_multihost:
+        mesh_lib.initialize_multihost(
+            config.tpu_coordinator_address or None,
+            config.tpu_num_processes or None,
+            config.tpu_process_id)
+        logger.info('> Multi-host initialized: process %d/%d, %d devices',
+                    jax.process_index(), jax.process_count(),
+                    len(jax.devices()))
     return config
 
 
