@@ -120,6 +120,27 @@ def test_concurrent_sessions_stay_isolated_and_ordered(spec, params):
         engine.stop()
 
 
+def test_mixed_signatures_are_batched_separately(spec, params):
+    """Requests with different (shape, dtype) signatures submitted together
+    are deferred into separate batches, each with its own compilation, and
+    all resolve to the correct per-signature results."""
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=20.0)
+    try:
+        short = _clips(5, 2, T=2)
+        long_ = _clips(6, 1, T=3)
+        futures = [engine.submit(c) for c in short + long_]
+        results = [f.result(timeout=600) for f in futures]
+        for clip, res in zip(short + long_, results):
+            ref = _direct(spec, params, clip)
+            np.testing.assert_allclose(
+                res['PoG_px_final'], np.asarray(ref['PoG_px_final'])[0],
+                rtol=1e-4, atol=1e-3)
+        assert engine.stats['requests'] == 3
+        assert engine.stats['batches'] >= 2  # one per signature at least
+    finally:
+        engine.stop()
+
+
 def test_unknown_session_rejected(spec, params):
     engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
     try:
