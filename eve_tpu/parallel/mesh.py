@@ -35,7 +35,7 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     harness's per-host data slicing + ``make_array_from_process_local_data``
     assembly become active (eve_tpu/train/harness.py).
     """
-    if jax._src.distributed.global_state.client is not None:  # noqa: SLF001
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address:

@@ -11,14 +11,16 @@ for deployment. Design:
   ``max_delay_ms`` (or until ``max_batch`` are pending) and dispatches them
   as one device step — trading a small, bounded latency for MXU-efficient
   batch sizes.
-- Sessions: a session carries the recurrent state (EyeNet GRU, RefineNet
-  ConvGRU, gaze-history map) across consecutive chunks of one video via
+- Sessions: a session carries the recurrent state (EyeNet GRU and RefineNet
+  ConvGRU; gaze-history maps are visualization-only outputs and never feed
+  the model) across consecutive chunks of one video via
   ``eve_tpu.models.eve.init_stream_state`` / ``forward(initial_states=...)``,
   so results match processing the whole video as one clip. Chunks of the
   same session are processed strictly in submission order (a chunk whose
-  session already has one in the current batch is deferred to the next).
-  Requests without a session get fresh state each time (the reference's
-  per-clip semantics).
+  session already has one in the current batch is deferred to the next),
+  and a failed chunk fails the session's deferred successors too rather
+  than silently skipping frames of recurrent history. Requests without a
+  session get fresh state each time (the reference's per-clip semantics).
 
 The HTTP front-end (``EveHTTPServer``) is a thin stdlib wrapper: numpy
 ``.npz`` request/response bodies, so no extra dependencies.
@@ -46,12 +48,18 @@ from eve_tpu.models import eve as eve_lib
 
 logger = logging.getLogger(__name__)
 
-# Outputs served over HTTP by default: the quantities the reference's
-# evaluation pipeline scores (src/eval_codalab.py:73-88) plus gaze vectors.
+# Outputs served by default: the quantities the reference's evaluation
+# pipeline scores (src/eval_codalab.py:73-88) plus gaze vectors. The jitted
+# step returns ONLY these (plus states), so each dispatch device-fetches a
+# few small arrays instead of every forward output.
 DEFAULT_SERVED_OUTPUTS = (
     'PoG_px_initial', 'PoG_px_final', 'PoG_cm_final',
     'left_pupil_size', 'right_pupil_size', 'g_initial', 'g_final',
 )
+
+
+class UnknownSessionError(KeyError):
+    """The request names a session that does not (or no longer) exist."""
 
 
 @dataclass
@@ -76,13 +84,24 @@ class ServingEngine:
     """Micro-batching inference engine over one jitted EVE forward."""
 
     def __init__(self, spec, params, *, max_batch=8, max_delay_ms=5.0,
-                 served_outputs=None):
+                 served_outputs=DEFAULT_SERVED_OUTPUTS,
+                 max_sessions=1024, max_signatures=8):
+        """``served_outputs`` bounds what the jitted step returns (None =
+        every forward output). ``max_sessions`` / ``max_signatures`` bound
+        the two client-controlled growth axes: open sessions (state arrays)
+        and distinct input (shape, dtype) signatures (each costs one XLA
+        compilation, executed on the batcher thread — the first request of
+        a new signature stalls serving for that compile)."""
         self.spec = spec
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
-        self.served_outputs = tuple(served_outputs or ())
+        self.served_outputs = (tuple(served_outputs)
+                               if served_outputs is not None else None)
+        self.max_sessions = int(max_sessions)
+        self.max_signatures = int(max_signatures)
         self._params = jax.device_put(params)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._deferred: List[_Request] = []  # owned by the batcher thread
         self._sessions: Dict[str, Session] = {}
         self._sessions_lock = threading.Lock()
         self._zero_state = jax.tree.map(
@@ -105,6 +124,10 @@ class ServingEngine:
         with self._sessions_lock:
             if session_id in self._sessions:
                 raise ValueError('session exists: %s' % session_id)
+            if len(self._sessions) >= self.max_sessions:
+                raise RuntimeError(
+                    'session limit reached (%d); close unused sessions'
+                    % self.max_sessions)
             self._sessions[session_id] = Session(
                 session_id, jax.tree.map(np.copy, self._zero_state))
             self.stats['sessions_opened'] += 1
@@ -124,7 +147,8 @@ class ServingEngine:
         if session_id is not None:
             with self._sessions_lock:
                 if session_id not in self._sessions:
-                    raise KeyError('unknown session: %s' % session_id)
+                    raise UnknownSessionError(
+                        'unknown session: %s' % session_id)
         req = _Request(
             inputs={k: np.asarray(v) for k, v in inputs.items()},
             session_id=session_id,
@@ -139,27 +163,40 @@ class ServingEngine:
         return self.submit(inputs, session_id).result(timeout=timeout)
 
     def stop(self):
+        """Stop the batcher and promptly fail all pending requests."""
         self._stop.set()
         self._thread.join(timeout=10.0)
+        err = RuntimeError('serving engine stopped')
+        for r in self._deferred:
+            if not r.future.done():
+                r.future.set_exception(err)
+        self._deferred = []
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not r.future.done():
+                r.future.set_exception(err)
 
     # ---------------- batcher ----------------
 
     def _loop(self):
-        deferred: List[_Request] = []
+        # self._deferred is touched only by this thread while it runs
+        # (stop() drains it after join), so no lock is needed.
         while not self._stop.is_set():
             reqs: List[_Request] = []
             sessions_in_batch = set()
             # Seed from deferred (ordering: oldest first), else block briefly.
-            pending = deferred
-            deferred = []
+            pending, self._deferred = self._deferred, []
             for r in pending:
-                self._try_add(r, reqs, deferred, sessions_in_batch)
+                self._try_add(r, reqs, self._deferred, sessions_in_batch)
             if not reqs:
                 try:
                     first = self._queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                self._try_add(first, reqs, deferred, sessions_in_batch)
+                self._try_add(first, reqs, self._deferred, sessions_in_batch)
                 if not reqs:
                     continue
             deadline = time.perf_counter() + self.max_delay_s
@@ -171,7 +208,7 @@ class ServingEngine:
                     r = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
-                self._try_add(r, reqs, deferred, sessions_in_batch)
+                self._try_add(r, reqs, self._deferred, sessions_in_batch)
             try:
                 self._dispatch(reqs)
             except Exception as e:  # pragma: no cover - defensive
@@ -179,6 +216,22 @@ class ServingEngine:
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(e)
+                # A session whose chunk failed must not silently continue
+                # from pre-failure state: fail its deferred successors too.
+                failed = {r.session_id for r in reqs
+                          if r.session_id is not None}
+                if failed:
+                    keep = []
+                    for r in self._deferred:
+                        if r.session_id in failed:
+                            self.stats['errors'] += 1
+                            if not r.future.done():
+                                r.future.set_exception(RuntimeError(
+                                    'a previous chunk of session %s failed'
+                                    % r.session_id))
+                        else:
+                            keep.append(r)
+                    self._deferred = keep
 
     def _try_add(self, r, reqs, deferred, sessions_in_batch):
         """Add request unless its session already has a chunk in the batch
@@ -200,19 +253,51 @@ class ServingEngine:
     def _get_jit(self, signature):
         fn = self._jit_cache.get(signature)
         if fn is None:
+            if len(self._jit_cache) >= self.max_signatures:
+                raise RuntimeError(
+                    'input-signature limit reached (%d distinct shapes); '
+                    'pad clips to a fixed shape client-side'
+                    % self.max_signatures)
             spec = self.spec
+            served = self.served_outputs
 
             @jax.jit
             def step(params, batch, states):
-                return eve_lib.forward(
+                out = eve_lib.forward(
                     spec, params, batch, training=False,
                     output_predictions=True,
                     initial_states=states, return_states=True)
+                states_out = out.pop('states')
+                if served is not None:
+                    out = {k: out[k] for k in served if k in out}
+                out['states'] = states_out
+                return out
 
             fn = self._jit_cache[signature] = step
         return fn
 
     def _dispatch(self, reqs: List[_Request]):
+        # A session deleted between submit() and here must fail its chunk,
+        # not silently run on freshly-zeroed state mid-stream.
+        live: List[_Request] = []
+        sessions: List[Optional[Session]] = []
+        with self._sessions_lock:
+            for r in reqs:
+                if r.session_id is None:
+                    live.append(r)
+                    sessions.append(None)
+                    continue
+                s = self._sessions.get(r.session_id)
+                if s is None:
+                    self.stats['errors'] += 1
+                    r.future.set_exception(UnknownSessionError(
+                        'session closed before dispatch: %s' % r.session_id))
+                else:
+                    live.append(r)
+                    sessions.append(s)
+        reqs = live
+        if not reqs:
+            return
         n = len(reqs)
         pad = self.max_batch - n
         batch = {}
@@ -223,14 +308,7 @@ class ServingEngine:
                     [stacked, np.repeat(stacked[-1:], pad, axis=0)])
             batch[k] = stacked
         # Stack per-slot states: session state, or fresh zero state.
-        slot_states = []
-        sessions: List[Optional[Session]] = []
-        with self._sessions_lock:
-            for r in reqs:
-                s = self._sessions.get(r.session_id) \
-                    if r.session_id is not None else None
-                sessions.append(s)
-                slot_states.append(s.state if s else self._zero_state)
+        slot_states = [s.state if s else self._zero_state for s in sessions]
         for _ in range(pad):
             slot_states.append(self._zero_state)
         states = jax.tree.map(
@@ -337,7 +415,7 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                     self._bytes(200, _npz_bytes(served))
                     return
                 self._json(404, {'error': 'not found'})
-            except KeyError as e:
+            except UnknownSessionError as e:
                 self._json(404, {'error': str(e)})
             except Exception as e:  # noqa: BLE001
                 logger.exception('request failed')

@@ -8,8 +8,8 @@ Usage:
 
 Protocol (stdlib HTTP, numpy .npz bodies): see eve_tpu/serve.py.
 A client streams consecutive T-frame chunks of one video through a session
-to carry the recurrent state (EyeNet GRU / RefineNet ConvGRU / gaze
-history) across chunk boundaries:
+to carry the recurrent state (EyeNet GRU / RefineNet ConvGRU) across
+chunk boundaries:
 
     POST /v1/sessions                 -> {"session_id": s}
     POST /v1/infer (X-Session-Id: s, body=npz of model inputs)
@@ -28,6 +28,10 @@ def main(argv=None):
 
     config = DefaultConfig()
     config.override('fully_reproducible', True)
+    # Serve the full pipeline by default (as inference.py does); CLI flags
+    # still override, e.g. --refine-net-enabled no for an EyeNet-only model.
+    config.override('refine_net_enabled', True)
+    config.override('load_screen_content', True)
     harness.script_init_common(argv=argv,
                                description='Serve EVE inference over HTTP.')
 

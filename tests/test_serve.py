@@ -20,7 +20,7 @@ import pytest
 from eve_tpu.data.synthetic import make_synthetic_batch
 from eve_tpu.models import eve as eve_lib
 from eve_tpu.serve import (DEFAULT_SERVED_OUTPUTS, ServingEngine,
-                           make_http_server)
+                           UnknownSessionError, make_http_server)
 
 
 @pytest.fixture(scope='module')
@@ -145,8 +145,69 @@ def test_unknown_session_rejected(spec, params):
     engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
     try:
         [clip] = _clips(3, 1)
-        with pytest.raises(KeyError):
+        with pytest.raises(UnknownSessionError):
             engine.submit(clip, session_id='nope')
+    finally:
+        engine.stop()
+
+
+def test_session_closed_before_dispatch_fails_request(spec, params):
+    """A session deleted between submit and dispatch fails the chunk
+    instead of silently running it on freshly-zeroed state."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=700.0)
+    try:
+        [clip] = _clips(7, 1)
+        sid = engine.open_session()
+        fut = engine.submit(clip, session_id=sid)
+        engine.close_session(sid)  # within the 700 ms gather window
+        with pytest.raises(UnknownSessionError):
+            fut.result(timeout=600)
+        assert engine.stats['errors'] == 1
+    finally:
+        engine.stop()
+
+
+def test_stop_fails_pending_requests_promptly(spec, params):
+    """stop() resolves queued futures with an error instead of leaving
+    callers blocked until their timeout."""
+    import time as time_mod
+
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    engine._stop.set()  # freeze the batcher before it can drain the queue
+    engine._thread.join(timeout=10.0)
+    [clip] = _clips(8, 1)
+    fut = engine.submit(clip)
+    t0 = time_mod.monotonic()
+    engine.stop()
+    with pytest.raises(RuntimeError, match='stopped'):
+        fut.result(timeout=60)
+    assert time_mod.monotonic() - t0 < 10
+
+
+def test_signature_limit(spec, params):
+    """Beyond max_signatures distinct input shapes, requests fail fast
+    instead of compiling unboundedly."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           max_signatures=1)
+    try:
+        [a] = _clips(9, 1, T=2)
+        [b] = _clips(10, 1, T=3)
+        engine.infer(a, timeout=600)  # occupies the single signature slot
+        with pytest.raises(RuntimeError, match='signature limit'):
+            engine.infer(b, timeout=600)
+    finally:
+        engine.stop()
+
+
+def test_served_outputs_bound_device_fetch(spec, params):
+    """The jitted step returns only the served keys (plus nothing else
+    batch-shaped), so dispatches don't fetch input echoes or loss arrays."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    try:
+        [clip] = _clips(11, 1)
+        out = engine.infer(clip, timeout=600)
+        assert set(out) <= set(DEFAULT_SERVED_OUTPUTS)
+        assert 'PoG_px_final' in out
     finally:
         engine.stop()
 
