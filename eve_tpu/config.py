@@ -196,6 +196,13 @@ class DefaultConfig(object):
     # Directory for jax.profiler traces ('' disables).
     profile_dir = ''
 
+    # AOT export (export_model.py): output path for the self-contained
+    # .eve artifact, its fixed batch size, and whether it carries
+    # recurrent state across chunks (streaming signature).
+    export_path = ''
+    export_batch_size = 1
+    export_streaming = False
+
     # HTTP serving (serve.py): bind address/port and micro-batching knobs.
     # Requests are gathered for up to serve_max_delay_ms (or until
     # serve_max_batch are pending) and run as one padded device step.
