@@ -36,8 +36,14 @@ EXPORTED_OUTPUTS = (
 
 
 def _abstractify(batch):
-    return {k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
-            for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, jax.ShapeDtypeStruct):
+            out[k] = v
+        else:
+            arr = np.asarray(v)
+            out[k] = jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+    return out
 
 
 def export_inference(spec, params, example_batch, streaming=False,
