@@ -13,8 +13,10 @@ read — rebasing to float32 for the device happens in the collate step
 (``to_device_arrays``) because raw epoch-nanoseconds do not fit float32.
 """
 
+import collections
 import logging
 import os
+import threading
 
 import numpy as np
 
@@ -82,14 +84,21 @@ class EVESequencesBase:
         self.live_validation = live_validation
         self.is_final_test = is_final_test
         self.validation_data_cache = {}
-        self.full_video_cache = {}
+        # Whole-video cache for the final test; an OrderedDict LRU guarded
+        # by a lock because the full-test loader runs __getitem__ from
+        # several worker THREADS sharing this object (the reference's
+        # equivalent cache was per-worker-process, eve_sequences.py:259).
+        self.full_video_cache = collections.OrderedDict()
+        self._full_video_cache_lock = threading.Lock()
 
         segmentations = load_or_build_cache(
             dataset_path, config.assumed_frame_rate, config.max_sequence_len,
             cache_dir)
         self.all_subfolders = select_sequences(
             segmentations, dataset_path, participants_to_use, cameras_to_use,
-            types_of_stimuli, stimulus_name_includes)
+            types_of_stimuli, stimulus_name_includes,
+            require_screen=bool(getattr(config, 'load_screen_content',
+                                        False)))
         logger.info('Initialized dataset class for: %s (%d clips)',
                     self.path, len(self.all_subfolders))
 
@@ -143,16 +152,30 @@ class EVESequencesBase:
         if self.is_final_test:
             # Whole-video cache: decode each video once for the full test.
             # One path's sources stay cached together (camera + screen are
-            # read alternately per item); a new path evicts the previous
-            # one to bound memory — reference eve_sequences.py:259-263.
-            if path not in self.full_video_cache:
-                self.full_video_cache = {path: {}}
-            if source not in self.full_video_cache[path]:
-                self.full_video_cache[path][source] = VideoReader(
+            # read alternately per item); a small LRU bounds memory
+            # (reference eve_sequences.py:259-263 kept one path per worker
+            # PROCESS; our workers are threads sharing this dict, so cap at
+            # ~one path per worker and guard with a lock).
+            cache_key = (path, source)
+            with self._full_video_cache_lock:
+                cached = self.full_video_cache.get(cache_key)
+                if cached is not None:
+                    self.full_video_cache.move_to_end(cache_key)
+            if cached is None:
+                decoded = VideoReader(
                     video_path, output_size=output_size).get_frames()
-            timestamps, frames = self.full_video_cache[path][source]
-            timestamps = timestamps[selected_indices]
-            frames = frames[selected_indices]
+                with self._full_video_cache_lock:
+                    self.full_video_cache[cache_key] = decoded
+                    while len(self.full_video_cache) > 8:
+                        self.full_video_cache.popitem(last=False)
+                cached = decoded
+            timestamps, frames = cached
+            # Tolerate truncated videos (fewer decoded frames than the
+            # labels claim) like the windowed path does: drop out-of-range
+            # indices; the alignment/padding below zeroes their validity.
+            in_range = [i for i in selected_indices if i < frames.shape[0]]
+            timestamps = timestamps[in_range]
+            frames = frames[in_range]
         else:
             timestamps, frames = VideoReader(
                 video_path, frame_indices=selected_indices,

@@ -89,8 +89,13 @@ def load_or_build_cache(dataset_path, assumed_frame_rate, max_sequence_len,
 
 def select_sequences(segmentations, dataset_path, participants_to_use,
                      cameras_to_use, types_of_stimuli,
-                     stimulus_name_includes=''):
-    """Filter the cache into a flat clip list (reference :163-191)."""
+                     stimulus_name_includes='', require_screen=False):
+    """Filter the cache into a flat clip list (reference :163-191).
+
+    ``require_screen`` drops folders with no screen stream at all
+    (loading such a clip with ``load_screen_content`` on would otherwise
+    fail at decode time with an empty frame-index list).
+    """
     all_subfolders = []
     for participant_name, participant_data in segmentations.items():
         if participant_name not in participants_to_use:
@@ -103,6 +108,12 @@ def select_sequences(segmentations, dataset_path, participants_to_use,
                     stimulus_name_includes not in stimulus_name:
                 continue
             screen_segments = stimulus_segments.get('screen', [])
+            if require_screen and not screen_segments:
+                logger.warning(
+                    '%s/%s: no screen stream; folder skipped because '
+                    'load_screen_content is enabled',
+                    participant_name, stimulus_name)
+                continue
             for camera, all_indices in stimulus_segments.items():
                 if camera not in cameras_to_use:
                     continue

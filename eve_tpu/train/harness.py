@@ -350,11 +350,15 @@ def main_loop_iterator(exp, train_data, test_data):
             cleanup_and_quit(exp, train_data, test_data, exit_code=1)
 
     profiling = False
+    # exp.last_step mutates every iteration; anchor the profiler window to
+    # the loop's start so start/stop actually trigger (steps +5 .. +10,
+    # past the compile step).
+    profile_anchor = exp.last_step
     for current_step in range(exp.last_step, num_training_steps):
         current_epoch = (current_step * local_batch) / max_dataset_len
         exp.tensorboard.update_current_step(current_step + 1)
 
-        if config.profile_dir and current_step == exp.last_step + 5:
+        if config.profile_dir and current_step == profile_anchor + 5:
             jax.profiler.start_trace(config.profile_dir)
             profiling = True
 
@@ -363,7 +367,7 @@ def main_loop_iterator(exp, train_data, test_data):
         rng, sub = jax.random.split(rng)
         exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
 
-        if profiling and current_step == exp.last_step + 10:
+        if profiling and current_step == profile_anchor + 10:
             jax.profiler.stop_trace()
             profiling = False
 
@@ -379,29 +383,36 @@ def main_loop_iterator(exp, train_data, test_data):
                 img_out, screen_size=tuple(config.screen_size))
         yield current_step, metrics, images
 
-        if step_modulo(current_step, config.log_every_n_steps):
+        # The three logging intervals and the NaN watchdog are independent
+        # (nesting them under the console-log gate would silently disable
+        # scalars and delay the NaN abort when log_every_n_steps is raised).
+        log_console = step_modulo(current_step, config.log_every_n_steps)
+        log_scalars = step_modulo(current_step,
+                                  config.tensorboard_scalars_every_n_steps)
+        if log_console or log_scalars:
             host_metrics = {k: float(v) for k, v in metrics.items()
                             if k != 'nan_flag'}
+        if log_console:
             logger.info('Step %d, Epoch %.2f> %s', current_step + 1,
                         current_epoch,
                         ', '.join('%s: %.4g' % (k, host_metrics[k])
                                   for k in sorted(host_metrics)))
-            if step_modulo(current_step,
-                           config.tensorboard_scalars_every_n_steps):
-                for key, metric in host_metrics.items():
-                    if key.startswith('loss_'):
-                        exp.tensorboard.add_scalar(
-                            'train_losses/%s' % key[len('loss_'):], metric)
-                    elif key.startswith('metric_'):
-                        exp.tensorboard.add_scalar(
-                            'train_metrics/%s' % key[len('metric_'):], metric)
-                    else:
-                        exp.tensorboard.add_scalar('train/%s' % key, metric)
-                exp.tensorboard.add_scalar('lr/epoch', current_epoch)
-            if step_modulo(current_step,
-                           config.tensorboard_learning_rate_every_n_steps):
-                exp.tensorboard.add_scalar(
-                    'lr/optim_0', float(exp.schedule(current_step)))
+        if log_scalars:
+            for key, metric in host_metrics.items():
+                if key.startswith('loss_'):
+                    exp.tensorboard.add_scalar(
+                        'train_losses/%s' % key[len('loss_'):], metric)
+                elif key.startswith('metric_'):
+                    exp.tensorboard.add_scalar(
+                        'train_metrics/%s' % key[len('metric_'):], metric)
+                else:
+                    exp.tensorboard.add_scalar('train/%s' % key, metric)
+            exp.tensorboard.add_scalar('lr/epoch', current_epoch)
+        if step_modulo(current_step,
+                       config.tensorboard_learning_rate_every_n_steps):
+            exp.tensorboard.add_scalar(
+                'lr/optim_0', float(exp.schedule(current_step)))
+        if log_console or log_scalars:
             abort_if_nan(metrics)
 
         if step_modulo(current_step, config.checkpoints_save_every_n_steps):
@@ -423,7 +434,9 @@ def main_loop_iterator(exp, train_data, test_data):
         exp.last_step = current_step
 
     if mesh_lib.is_primary_process() and hasattr(exp, 'state'):
-        exp.checkpoint_manager.save_at_step(exp.last_step + 2, exp.state)
+        # Same completed-step numbering as the periodic saves
+        # (current_step + 1), so resume continues at the right step.
+        exp.checkpoint_manager.save_at_step(exp.last_step + 1, exp.state)
 
 
 def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
@@ -435,7 +448,11 @@ def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
             len(data_dict['dataset'])
         totals = {}
         for batch in loader:
-            device_batch, _ = to_device_arrays(batch)
+            # Shard eval batches over the mesh like training batches
+            # (device_put_batch falls back to replicated placement for
+            # ragged final batches that don't divide the device count).
+            device_batch, _ = to_device_arrays(
+                batch, device_put=exp.device_put_batch)
             out = exp.eval_step(exp.state.params, device_batch)
             batch_size = next(iter(
                 v for v in batch.values()
@@ -476,7 +493,7 @@ def do_final_full_test(exp, test_data):
         v['dataset'] = new_dataset
         logger.info('> Full test on dataset %s: %d sequences',
                     tag, len(new_dataset))
-    _, for_gsheet = test_model_on_all(exp, test_data, exp.last_step + 2,
+    _, for_gsheet = test_model_on_all(exp, test_data, exp.last_step + 1,
                                       log_key_prefix='full_test')
     if for_gsheet is not None:
         exp.gsheet_logger.update_or_append_row(for_gsheet)

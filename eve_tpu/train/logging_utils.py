@@ -110,6 +110,14 @@ class Tensorboard:
         return cls._instance
 
     def __init__(self, output_dir):
+        # __init__ re-runs on every construction of the singleton; when a
+        # second Experiment (new output dir) takes over, flush and close
+        # the previous run's writer instead of leaking it.
+        if getattr(self, 'output_dir', None) == output_dir:
+            return
+        if getattr(self, '_writer', None) is not None or \
+                getattr(self, '_jsonl', None) is not None:
+            self.close()
         self.output_dir = output_dir
         self.current_step = 0
         self._writer = None

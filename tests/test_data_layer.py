@@ -251,3 +251,79 @@ def test_live_validation_cache_is_per_clip(dataset_root, config, tmp_path):
     # Cached re-reads return the right entries.
     np.testing.assert_array_equal(ds[0]['timestamps'], a0['timestamps'])
     np.testing.assert_array_equal(ds[1]['timestamps'], a1['timestamps'])
+
+
+def test_final_test_cache_threaded(dataset_root, config, tmp_path):
+    """The final-test whole-video cache is shared by worker THREADS
+    (full_test_data_workers); concurrent __getitem__ across clip
+    boundaries must neither crash nor corrupt items."""
+    import threading
+
+    ds = make_dataset(dataset_root, config, tmp_path, is_final_test=True)
+    serial = [ds[i] for i in range(len(ds))]
+
+    ds2 = make_dataset(dataset_root, config, tmp_path, is_final_test=True)
+    results = [None] * len(ds2)
+    errors = []
+
+    def fetch(i):
+        try:
+            results[i] = ds2[i]
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, e))
+
+    for _ in range(3):  # several rounds to shake out interleavings
+        threads = [threading.Thread(target=fetch, args=(i,))
+                   for i in range(len(ds2))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    for i, (a, b) in enumerate(zip(serial, results)):
+        np.testing.assert_array_equal(a['left_eye_patch'],
+                                      b['left_eye_patch'], err_msg=str(i))
+        np.testing.assert_array_equal(a['timestamps'], b['timestamps'])
+
+
+def test_final_test_tolerates_truncated_video(dataset_root, config,
+                                              tmp_path):
+    """A video that decodes fewer frames than its timestamps list claims
+    yields zero-validity padding, not an IndexError (whole-video path)."""
+    import shutil
+
+    root = tmp_path / 'trunc'
+    shutil.copytree(dataset_root, root)
+    # Truncate the camera video to its first 12 frames (cv2 re-encode; no
+    # ffmpeg binary on this host).
+    import cv2
+
+    folder = next((root / 'train01').glob('step*image*'))
+    video = str(folder / 'webcam_c.mp4')
+    cap = cv2.VideoCapture(video)
+    frames = []
+    for _ in range(12):
+        ok, frame = cap.read()
+        assert ok
+        frames.append(frame)
+    cap.release()
+    h, w = frames[0].shape[:2]
+    cut = str(folder / 'cut.mp4')
+    writer = cv2.VideoWriter(cut, cv2.VideoWriter_fourcc(*'mp4v'),
+                             30.0, (w, h))
+    for frame in frames:
+        writer.write(frame)
+    writer.release()
+    os.replace(cut, video)
+
+    ds = EVESequencesBase(
+        str(root), config=config, participants_to_use=['train01'],
+        cameras_to_use=['webcam_c'], types_of_stimuli=['image'],
+        cache_dir=str(tmp_path / 'segcache_trunc'), is_final_test=True)
+    for i in range(len(ds)):
+        item = ds[i]  # must not raise
+        T = item['left_eye_patch'].shape[0]
+        assert T == config.max_sequence_len
+        # Frames beyond the truncation are zero-validity padding.
+        if not bool(item['left_o_validity'].all()):
+            assert item['left_eye_patch'][-1].max() == 0.0
