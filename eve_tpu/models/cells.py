@@ -80,6 +80,7 @@ class GRUCell(_DenseCellBase):
 class LSTMCell(_DenseCellBase):
     """torch.nn.LSTMCell gate math (i, f, g, o gate order)."""
     num_gates: int = 4
+    tuple_state = True
 
     @nn.compact
     def __call__(self, x, state):
@@ -117,6 +118,7 @@ class ConvRNNCell(nn.Module):
 
 class ConvLSTMCell(nn.Module):
     """4-gate conv LSTM. Reference CLSTMCell (common.py:355-385)."""
+    tuple_state = True
     hidden_size: int
 
     @nn.compact
@@ -164,3 +166,18 @@ class ConvGRUCell(nn.Module):
 
 DENSE_CELLS = {'RNN': RNNCell, 'LSTM': LSTMCell, 'GRU': GRUCell}
 CONV_CELLS = {'CRNN': ConvRNNCell, 'CLSTM': ConvLSTMCell, 'CGRU': ConvGRUCell}
+
+
+def zero_state(cell_cls, hidden_size, batch_size, hw=None,
+               dtype=jnp.float32):
+    """Zero initial state for a cell CLASS (no Module instantiation).
+
+    The single owner of per-cell-type state structure; models call this
+    from their init_state helpers (flax forbids constructing a Module
+    inside another module's method, so the class-level ``tuple_state``
+    attribute carries the only structural difference).
+    """
+    shape = ((batch_size, hidden_size) if hw is None
+             else (batch_size, hw[0], hw[1], hidden_size))
+    z = jnp.zeros(shape, dtype)
+    return (z, z) if getattr(cell_cls, 'tuple_state', False) else z

@@ -537,12 +537,13 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
             full['left_R'], full['camera_transformation'])
 
         if create_images and 'PoG_px_tobii' in full:
-            hist_hm_f = hm_ops.make_heatmaps(
-                interm['PoG_px_final'], spec.gaze_heatmap_sigma_history,
-                heatmap_size=spec.gaze_heatmap_size,
-                actual_screen_size=spec.actual_screen_size)
+            # The refined history accumulates the raw network-refined
+            # heatmaps themselves (reference eve.py:150-155), unlike the
+            # initial history which renders sigma_history Gaussians at the
+            # PoG estimate (eve.py:592-595).
             interm['history_final'] = hm_ops.decayed_history_scan(
-                hist_hm_f, full['timestamps'].astype(jnp.float32),
+                interm['heatmap_final'].astype(jnp.float32),
+                full['timestamps'].astype(jnp.float32),
                 full['PoG_px_tobii_validity'].astype(jnp.float32),
                 decay_per_ms=spec.gaze_history_map_decay_per_ms)
 

@@ -102,14 +102,18 @@ class EyeNet(nn.Module):
         return gaze, pupil
 
     def init_state(self, batch_size, dtype=jnp.float32):
-        """Zero initial states for the cell stack."""
+        """Zero initial states for the cell stack.
+
+        The state structure lives in exactly one place
+        (cells.zero_state, keyed by the cell class).
+        """
         if not self.use_rnn:
             return ()
-        if self.rnn_type == 'LSTM':
-            z = jnp.zeros((batch_size, self.num_features), dtype)
-            return tuple((z, z) for _ in range(self.rnn_num_cells))
-        return tuple(jnp.zeros((batch_size, self.num_features), dtype)
-                     for _ in range(self.rnn_num_cells))
+        from eve_tpu.models.cells import zero_state
+        return tuple(
+            zero_state(DENSE_CELLS[self.rnn_type], self.num_features,
+                       batch_size, dtype=dtype)
+            for _ in range(self.rnn_num_cells))
 
     def __call__(self, eye_patch, head_pose=None, states=None):
         """Single-timestep full forward (init/shape-inference convenience)."""

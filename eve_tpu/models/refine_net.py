@@ -180,15 +180,15 @@ class RefineNet(nn.Module):
         return jax.nn.sigmoid(x)[..., 0]
 
     def init_state(self, batch_size, dtype=None):
+        """Zero conv-RNN states; the state structure lives in exactly one
+        place (cells.zero_state, keyed by the cell class)."""
         if not self.use_rnn:
             return ()
         dtype = dtype or self.compute_dtype
-        hw = LEVEL_SHAPES[4]
-        if self.rnn_type == 'CLSTM':
-            z = jnp.zeros((batch_size, hw[0], hw[1], self.num_features), dtype)
-            return tuple((z, z) for _ in range(self.rnn_num_cells))
+        from eve_tpu.models.cells import zero_state
         return tuple(
-            jnp.zeros((batch_size, hw[0], hw[1], self.num_features), dtype)
+            zero_state(CONV_CELLS[self.rnn_type], self.num_features,
+                       batch_size, hw=LEVEL_SHAPES[4], dtype=dtype)
             for _ in range(self.rnn_num_cells))
 
     def __call__(self, heatmap_initial, screen_frame=None, states=None,

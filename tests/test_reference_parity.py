@@ -624,3 +624,68 @@ def test_full_eve_composite_training_mode_vs_reference(ref):
         sys.path.remove(REF_SRC)
         for k in overrides:
             ref.config.override(k, getattr(type(ref.config), k))
+
+
+def test_create_images_outputs_vs_reference(ref):
+    """The visualization outputs (gaze-history maps, heatmap snapshots)
+    match the reference with shared weights — in particular the REFINED
+    history, which accumulates the raw refined heatmaps themselves
+    (reference eve.py:150-155), not re-rendered Gaussians."""
+    import jax.numpy as jnp
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.utils import torch_convert
+    torch = ref.torch
+    _install_torchvision_resnet_stub(torch)
+
+    overrides = {'refine_net_enabled': True, 'load_screen_content': True}
+    for k, v in overrides.items():
+        ref.config.override(k, v)
+    sys.path.insert(0, REF_SRC)
+    try:
+        import models.eve as ref_eve_mod
+        ref_model = ref_eve_mod.EVE(output_predictions=True)
+        ref_model.eval()
+        eye_sd = torch_convert.torch_state_dict_to_numpy(
+            ref_model.eye_net.state_dict())
+        refine_sd = torch_convert.torch_state_dict_to_numpy(
+            ref_model.refine_net.state_dict())
+        params = {'eye_net': torch_convert.convert_eye_net(eye_sd),
+                  'refine_net': torch_convert.convert_refine_net(refine_sd)}
+
+        rng = np.random.RandomState(29)
+        from eve_tpu.data.synthetic import make_synthetic_batch
+        batch_np = make_synthetic_batch(rng, batch_size=2, sequence_len=3,
+                                        eyes_size=128)
+        torch_batch = {}
+        for k, v in batch_np.items():
+            t = _t(torch, v)
+            if k.endswith('eye_patch') or k == 'screen_frame':
+                t = t.permute(0, 1, 4, 2, 3).contiguous()
+            elif k.endswith('_validity'):
+                t = t.bool()
+            torch_batch[k] = t
+        with torch.no_grad():
+            out_ref = ref_model(torch_batch, create_images=True)
+
+        spec = eve_lib.EveSpec(refine_net_enabled=True,
+                               load_screen_content=True)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        out = eve_lib.forward(spec, params, batch, training=False,
+                              output_predictions=True, create_images=True)
+
+        for key, atol in (('initial_gaze_history', 2e-3),
+                          ('refined_gaze_history', 2e-3),
+                          ('initial_heatmap', 2e-3),
+                          ('final_heatmap', 2e-3)):
+            assert key in out_ref, key
+            assert key in out, key
+            want = out_ref[key].detach().numpy().astype(np.float32)
+            if want.ndim == 4 and want.shape[1] == 1:
+                want = want[:, 0]  # reference keeps the NCHW channel axis
+            np.testing.assert_allclose(
+                np.asarray(out[key], np.float32), want,
+                rtol=1e-3, atol=atol, err_msg=key)
+    finally:
+        sys.path.remove(REF_SRC)
+        for k in overrides:
+            ref.config.override(k, getattr(type(ref.config), k))
