@@ -246,7 +246,18 @@ class DefaultConfig(object):
         with open(json_path, 'r') as f:
             json_string = f.read()
         self.import_dict(json.loads(json_string), strict=strict)
-        self.__class__.__filecontents[os.path.basename(json_path)] = json_string
+        # Provenance: two imported files may share a basename (unlike the
+        # reference, multiple JSON imports are supported) — disambiguate so
+        # the run's configs/ dir records every file.
+        filecontents = self.__class__.__filecontents
+        name = os.path.basename(json_path)
+        if name in filecontents and filecontents[name] != json_string:
+            stem, ext = os.path.splitext(name)
+            i = 2
+            while '%s.%d%s' % (stem, i, ext) in filecontents:
+                i += 1
+            name = '%s.%d%s' % (stem, i, ext)
+        filecontents[name] = json_string
 
     def override(self, key, value):
         self.__class__.__immutable = False

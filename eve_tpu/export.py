@@ -28,11 +28,8 @@ _HEADER = struct.Struct('<8sII')  # magic, version, flags
 _FLAG_STREAMING = 1
 
 # Prediction keys the exported function returns (when computable from the
-# example batch); mirrors eve_tpu.serve.DEFAULT_SERVED_OUTPUTS.
-EXPORTED_OUTPUTS = (
-    'PoG_px_initial', 'PoG_px_final', 'PoG_cm_final',
-    'left_pupil_size', 'right_pupil_size', 'g_initial', 'g_final',
-)
+# example batch) — the single source is the serving layer's constant.
+from eve_tpu.serve import DEFAULT_SERVED_OUTPUTS as EXPORTED_OUTPUTS  # noqa: E402
 
 
 def _abstractify(batch):
@@ -119,6 +116,9 @@ class ExportedModel:
         if self.streaming:
             assert states is not None, 'streaming artifact needs states'
             return self._call(batch, states)
+        assert states is None, (
+            'states passed to a non-streaming artifact (it would silently '
+            'reset recurrent state every chunk); export with streaming=True')
         return self._call(batch)
 
 

@@ -89,6 +89,8 @@ def pallas_soft_argmax(heatmaps, heatmap_size=(HEATMAP_W, HEATMAP_H),
     """(N, H, W) heatmaps -> (N, 2) screen-px coordinates (float32)."""
     w, h = heatmap_size
     n = heatmaps.shape[0]
+    if n == 0:  # empty batch: match the jnp fallback
+        return jnp.zeros((0, 2), jnp.float32)
     bn = min(block_n, n)
     pad = (-n) % bn
     if pad:

@@ -43,13 +43,19 @@ def vector_to_pitchyaw(vectors):
 
 
 def angular_error(a, b):
-    """Per-sample angular errors in degrees, (N,) for (N, 2) pitch/yaw."""
-    a = pitchyaw_to_vector(np.asarray(a))
-    b = pitchyaw_to_vector(np.asarray(b))
+    """Per-sample angular errors in degrees.
+
+    Accepts (N, 2) pitch/yaw or (N, 3) direction vectors per argument,
+    matching the reference's shape dispatch (gaze.py:55-58).
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    a = pitchyaw_to_vector(a) if a.shape[1] == 2 else a
+    b = pitchyaw_to_vector(b) if b.shape[1] == 2 else b
     ab = np.sum(a * b, axis=1)
-    na = np.linalg.norm(a, axis=1)
-    nb = np.linalg.norm(b, axis=1)
-    sim = ab / (na * nb + 1e-8)
+    na = np.clip(np.linalg.norm(a, axis=1), 1e-8, None)
+    nb = np.clip(np.linalg.norm(b, axis=1), 1e-8, None)
+    sim = ab / (na * nb)
     sim = np.clip(sim, -1.0 + 1e-8, 1.0 - 1e-8)
     return np.degrees(np.arccos(sim))
 
@@ -64,7 +70,7 @@ def draw_gaze(image, pos, pitchyaw, length=40.0, thickness=2,
     image_out = image
     if len(image_out.shape) == 2 or image_out.shape[2] == 1:
         image_out = cv2.cvtColor(image_out, cv2.COLOR_GRAY2BGR)
-    dx = -length * np.sin(pitchyaw[1]) * np.cos(pitchyaw[0])
+    dx = -length * np.sin(pitchyaw[1])
     dy = -length * np.sin(pitchyaw[0])
     cv2.arrowedLine(
         image_out, tuple(np.round(pos).astype(np.int32)),

@@ -97,12 +97,14 @@ def _convert_preact_block(out, flax_name, torch_prefix, state_dict):
 
 
 def convert_refine_net(state_dict, num_enc_blocks=(1, 2, 2, 2, 2),
-                       rnn_num_cells=1):
+                       rnn_num_cells=None):
     """torch RefineNet state dict (numpy values) -> flax params tree.
 
     The reference nests five ``WrapEncoderDecoder`` shells
     (refine_net.py:188-212); level k lives under
-    ``network.`` + ``between_module.`` * k.
+    ``network.`` + ``between_module.`` * k. ``rnn_num_cells=None``
+    auto-detects the cell count from the state-dict keys (a fixed count
+    would silently drop cells beyond it).
     """
     out = {}
     # Stem / head
@@ -126,7 +128,16 @@ def convert_refine_net(state_dict, num_enc_blocks=(1, 2, 2, 2, 2),
                               f'{prefix}decoder_blocks.0', state_dict)
 
     bottleneck_prefix = 'network.' + 'between_module.' * 5
-    for i in range(rnn_num_cells):
+    cell_indices = sorted({
+        int(key[len(bottleneck_prefix) + len('rnn_cells.'):].split('.')[0])
+        for key in state_dict
+        if key.startswith(bottleneck_prefix + 'rnn_cells.')})
+    if rnn_num_cells is not None:
+        assert len(cell_indices) == rnn_num_cells, (
+            'checkpoint has %d rnn cells, expected %d'
+            % (len(cell_indices), rnn_num_cells))
+    for i in cell_indices:
+        converted = 0
         for conv_name in ('cell', 'gates', 'gates_1', 'gate_2'):
             wkey = f'{bottleneck_prefix}rnn_cells.{i}.{conv_name}.weight'
             if wkey in state_dict:
@@ -135,6 +146,8 @@ def convert_refine_net(state_dict, num_enc_blocks=(1, 2, 2, 2, 2),
                 _set(out, f'rnn_cell_{i}/{conv_name}/bias',
                      state_dict[f'{bottleneck_prefix}rnn_cells.{i}.'
                                 f'{conv_name}.bias'])
+                converted += 1
+        assert converted, 'rnn cell %d had no recognized conv weights' % i
     return out
 
 
