@@ -61,8 +61,12 @@ def main():
 
     processed_so_far = set()
     outputs_to_write = {}
+    # materialize_inputs=False: only the host-side string metadata is read
+    # below; copying the eye/screen tensors back would cost ~2 GB per
+    # 128-clip batch of pure device->host transfer.
     for step, inputs, outputs in infer.iterator(spec, params, dataloader,
-                                                create_images=False):
+                                                create_images=False,
+                                                materialize_inputs=False):
         batch_size = outputs['PoG_px_initial'].shape[0]
         for i in range(batch_size):
             participant = inputs['participant'][i]

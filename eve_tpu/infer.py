@@ -60,14 +60,18 @@ def init_dataset(config):
     return dataset, dataloader
 
 
-def model_setup(config, pretrained_dir=None):
-    """Build spec + params from a run dir or released weights."""
+def model_setup(config, pretrained_dir=None, require_weights=False):
+    """Build spec + params from a run dir or released weights.
+
+    ``require_weights=True`` raises instead of silently falling back to
+    random initialization when neither --resume-from nor local pretrained
+    files provide weights (serving/export entry points must never ship
+    random predictions)."""
     spec = eve_lib.EveSpec.from_config(config)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
 
     if config.resume_from:
         assert os.path.isdir(config.resume_from)
-        import optax
         from eve_tpu.train.step import TrainState
         import jax.numpy as jnp
         dummy_state = TrainState(step=jnp.zeros((), jnp.int32),
@@ -86,10 +90,16 @@ def model_setup(config, pretrained_dir=None):
         refine = load_pretrained_params(config, 'refine_net', pretrained_dir)
         if refine is not None:
             params['refine_net'] = refine
+        if require_weights and eye is None:
+            raise RuntimeError(
+                'No model weights: pass --resume-from <run_dir> or place '
+                'the released weights under $EVE_PRETRAINED_DIR (refusing '
+                'to serve/export randomly initialized parameters).')
     return spec, params
 
 
-def iterator(spec, params, dataloader, create_images=True, streaming=False):
+def iterator(spec, params, dataloader, create_images=True, streaming=False,
+             materialize_inputs=True):
     """Yield (step, inputs_np, outputs_np) per batch (reference :103-127).
 
     ``streaming=True`` carries the GRU/ConvGRU states across batches —
@@ -97,6 +107,11 @@ def iterator(spec, params, dataloader, create_images=True, streaming=False):
     (the inference-CLI dataset does; batch_size must be 1). The reference
     resets recurrent state at every clip boundary; streaming produces the
     same results as processing the whole video as one clip.
+
+    ``materialize_inputs=False`` skips the device->host copy of the input
+    tensors (inputs_np then carries only the host-side extras) — the
+    codalab evaluator reads only string metadata, and copying the eye/
+    screen tensors back costs ~2 GB per 128-clip batch.
     """
     import functools
     import jax as jax_lib
@@ -113,19 +128,36 @@ def iterator(spec, params, dataloader, create_images=True, streaming=False):
     else:
         eval_step = make_eval_step(spec, output_predictions=True,
                                    create_images=create_images)
+    full_batch = getattr(dataloader, 'batch_size', None)
     for current_step, batch in enumerate(dataloader):
+        # Pad a ragged final batch to the loader's fixed batch size BEFORE
+        # device placement: eval_step is shape-specialized, and a one-off
+        # shape would recompile the whole model for the last batch.
+        B = next((v.shape[0] for v in batch.values()
+                  if isinstance(v, np.ndarray)), None)
+        pad = 0
+        if not streaming and full_batch and B is not None and B < full_batch:
+            pad = full_batch - B
+            batch = {k: (np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                         if isinstance(v, np.ndarray) else v)
+                     for k, v in batch.items()}
         device_batch, host_extras = to_device_arrays(batch)
         if streaming:
             if states is None:
-                B = next(iter(device_batch.values())).shape[0]
                 assert B == 1, 'streaming inference requires batch_size=1'
                 states = eve_lib.init_stream_state(spec, B)
             outputs = eval_step_stream(params, device_batch, states)
             states = outputs.pop('states')
         else:
             outputs = eval_step(params, device_batch)
+            if pad:
+                outputs = {k: (v[:B] if hasattr(v, 'ndim') and v.ndim >= 1
+                               and v.shape[0] == B + pad else v)
+                           for k, v in outputs.items()}
         inputs_np = {}
-        inputs_np.update({k: np.asarray(v) for k, v in device_batch.items()})
+        if materialize_inputs:
+            inputs_np.update({k: np.asarray(v)[:B]
+                              for k, v in device_batch.items()})
         inputs_np.update(host_extras)
         outputs_np = {k: np.asarray(v) for k, v in outputs.items()
                       if hasattr(v, 'shape')}

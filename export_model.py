@@ -34,14 +34,15 @@ def main(argv=None):
     from eve_tpu import infer as infer_lib
     from eve_tpu.data.synthetic import make_synthetic_batch
     from eve_tpu.export import export_inference
-    from eve_tpu.models import eve as eve_lib
 
-    spec, params = infer_lib.model_setup(config)
+    spec, params = infer_lib.model_setup(config, require_weights=True)
     rng = np.random.RandomState(0)
+    assert config.eyes_size[0] == config.eyes_size[1], config.eyes_size
     example = make_synthetic_batch(
         rng, batch_size=config.export_batch_size,
         sequence_len=config.max_sequence_len,
         eyes_size=config.eyes_size[0],
+        screen_size=tuple(config.screen_size),
         with_screen=spec.load_screen_content, with_gt=False,
         frame_dtype=(np.uint8 if config.tpu_on_device_preprocess
                      else np.float32))

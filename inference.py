@@ -90,12 +90,13 @@ def main():
                 frame = np.ascontiguousarray(screens[index, t][:, :, ::-1])
                 eyes_bgr = (eyes[index, t][:, :, ::-1]
                             if eyes is not None else None)
+                have_pog_gt = we_have_gt and all_PoG_gt is not None
                 draw_pog_overlay(
                     frame, to_draw, eyes_bgr=eyes_bgr,
-                    draw_gt_lines=we_have_gt,
-                    gt=all_PoG_gt[index] if we_have_gt else None,
+                    draw_gt_lines=have_pog_gt,
+                    gt=all_PoG_gt[index] if have_pog_gt else None,
                     gt_validity=(all_gt_validity[index].astype(bool)
-                                 if we_have_gt else None),
+                                 if have_pog_gt else None),
                     t=t, ui_scale=canvas_w / aw)
                 encoder.write(frame)
 

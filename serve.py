@@ -38,7 +38,7 @@ def main(argv=None):
     from eve_tpu import infer as infer_lib
     from eve_tpu.serve import ServingEngine, make_http_server
 
-    spec, params = infer_lib.model_setup(config)
+    spec, params = infer_lib.model_setup(config, require_weights=True)
     engine = ServingEngine(
         spec, params,
         max_batch=config.serve_max_batch,
