@@ -294,12 +294,13 @@ def test_final_test_tolerates_truncated_video(dataset_root, config,
 
     root = tmp_path / 'trunc'
     shutil.copytree(dataset_root, root)
-    # Truncate the camera video to its first 12 frames (cv2 re-encode; no
-    # ffmpeg binary on this host).
+    # Truncate the EYES video to its first 12 frames (cv2 re-encode; no
+    # ffmpeg binary on this host). camera_frame_type defaults to 'eyes',
+    # so webcam_c_eyes.mp4 is the stream the dataset actually decodes.
     import cv2
 
     folder = next((root / 'train01').glob('step*image*'))
-    video = str(folder / 'webcam_c.mp4')
+    video = str(folder / 'webcam_c_eyes.mp4')
     cap = cv2.VideoCapture(video)
     frames = []
     for _ in range(12):
@@ -320,10 +321,13 @@ def test_final_test_tolerates_truncated_video(dataset_root, config,
         str(root), config=config, participants_to_use=['train01'],
         cameras_to_use=['webcam_c'], types_of_stimuli=['image'],
         cache_dir=str(tmp_path / 'segcache_trunc'), is_final_test=True)
+    saw_truncated = False
     for i in range(len(ds)):
         item = ds[i]  # must not raise
         T = item['left_eye_patch'].shape[0]
         assert T == config.max_sequence_len
         # Frames beyond the truncation are zero-validity padding.
         if not bool(item['left_o_validity'].all()):
+            saw_truncated = True
             assert item['left_eye_patch'][-1].max() == 0.0
+    assert saw_truncated, 'truncation never bit; the test would be vacuous'

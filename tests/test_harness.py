@@ -98,8 +98,9 @@ def test_resume_from_checkpoint(dataset_root, config):
     train_data, test_data = harness.init_datasets(
         config, train_specs, val_specs)
     exp = harness.Experiment(config, output_dir_base='./outputs')
-    for _ in harness.main_loop_iterator(exp, train_data, test_data):
-        pass
+    first_steps = [s for s, _, _ in harness.main_loop_iterator(
+        exp, train_data, test_data)]
+    assert first_steps, 'fresh run executed no steps'
     first_run_dir = exp.output_dir
 
     DefaultConfig._reset_instance_for_testing()
@@ -116,9 +117,11 @@ def test_resume_from_checkpoint(dataset_root, config):
         cfg2, train_specs, val_specs)
     resumed_steps = [s for s, _, _ in harness.main_loop_iterator(
         exp2, train_data2, test_data2)]
-    # Resumed at the checkpointed step, so fewer steps remain than a
-    # fresh run would take.
-    assert exp2.last_step > 0 or resumed_steps == []
+    # The final checkpoint records every executed step (completed-step
+    # numbering), so resuming the finished run must re-execute NOTHING —
+    # this fails if restore ignores the checkpointed step and retrains.
+    assert resumed_steps == [], resumed_steps
+    assert exp2.last_step == len(first_steps)
 
 
 def test_make_grid():

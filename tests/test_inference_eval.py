@@ -126,8 +126,6 @@ def test_eval_codalab_submission(dataset_root, clean_config, tmp_path):
                                 opt_state=())
     ckpt_lib.CheckpointManager(run_dir).save_at_step(1, state)
 
-    eval_codalab.main.__wrapped__ if hasattr(eval_codalab.main, '__wrapped__') \
-        else None
     dataset, dataloader = eval_codalab.init_dataset(config)
     assert len(dataset) == 3
     spec2, params2 = infer_lib.model_setup(config)

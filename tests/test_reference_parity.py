@@ -52,6 +52,20 @@ def ref():
         sys.path.remove(REF_SRC)
 
 
+def _to_torch_batch(torch, batch_np):
+    """NHWC numpy batch -> the reference's NCHW torch batch (image keys
+    permuted, validity flags bool-cast as the real dataset ships them)."""
+    torch_batch = {}
+    for k, v in batch_np.items():
+        t = _t(torch, v)
+        if k.endswith('eye_patch') or k == 'screen_frame':
+            t = t.permute(0, 1, 4, 2, 3).contiguous()
+        elif k.endswith('_validity'):
+            t = t.bool()
+        torch_batch[k] = t
+    return torch_batch
+
+
 def _t(torch, a):
     return torch.tensor(np.asarray(a, np.float32))
 
@@ -489,14 +503,7 @@ def test_full_eve_composite_vs_reference(ref, eye_rnn):
         batch_np = make_synthetic_batch(rng, batch_size=B, sequence_len=T,
                                         eyes_size=128)
 
-        torch_batch = {}
-        for k, v in batch_np.items():
-            t = _t(torch, v)
-            if k.endswith('eye_patch') or k == 'screen_frame':
-                t = t.permute(0, 1, 4, 2, 3).contiguous()  # NHWC -> NCHW
-            elif k.endswith('_validity'):
-                t = t.bool()  # the real dataset ships uint8 validity flags
-            torch_batch[k] = t
+        torch_batch = _to_torch_batch(torch, batch_np)
         with torch.no_grad():
             out_ref = ref_model(torch_batch)
 
@@ -586,14 +593,7 @@ def test_full_eve_composite_training_mode_vs_reference(ref):
         kappa_l = twin.normal(size=(B, 2), loc=0.0, scale=std)
         kappa_r = twin.normal(size=(B, 2), loc=0.0, scale=std)
 
-        torch_batch = {}
-        for k, v in batch_np.items():
-            t = _t(torch, v)
-            if k.endswith('eye_patch') or k == 'screen_frame':
-                t = t.permute(0, 1, 4, 2, 3).contiguous()
-            elif k.endswith('_validity'):
-                t = t.bool()
-            torch_batch[k] = t
+        torch_batch = _to_torch_batch(torch, batch_np)
         with torch.no_grad():
             out_ref = ref_model({'eve': torch_batch}, current_epoch=0.0)
 
@@ -656,14 +656,7 @@ def test_create_images_outputs_vs_reference(ref):
         from eve_tpu.data.synthetic import make_synthetic_batch
         batch_np = make_synthetic_batch(rng, batch_size=2, sequence_len=3,
                                         eyes_size=128)
-        torch_batch = {}
-        for k, v in batch_np.items():
-            t = _t(torch, v)
-            if k.endswith('eye_patch') or k == 'screen_frame':
-                t = t.permute(0, 1, 4, 2, 3).contiguous()
-            elif k.endswith('_validity'):
-                t = t.bool()
-            torch_batch[k] = t
+        torch_batch = _to_torch_batch(torch, batch_np)
         with torch.no_grad():
             out_ref = ref_model(torch_batch, create_images=True)
 

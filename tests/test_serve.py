@@ -48,7 +48,7 @@ def _direct(spec, params, clip):
 
 
 def test_engine_matches_direct_forward(spec, params):
-    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=20.0)
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=200.0)
     try:
         clips = _clips(0, 3)
         futures = [engine.submit(c) for c in clips]
@@ -60,9 +60,11 @@ def test_engine_matches_direct_forward(spec, params):
                 np.testing.assert_allclose(
                     res[key], np.asarray(ref[key])[0],
                     rtol=1e-4, atol=1e-3, err_msg=key)
-        # 3 requests submitted back-to-back should share batches.
+        # 3 requests submitted back-to-back within the 200 ms gather
+        # window must actually SHARE batches (fewer batches than
+        # requests), or the micro-batcher is broken.
         assert engine.stats['requests'] == 3
-        assert engine.stats['batches'] <= 3
+        assert engine.stats['batches'] < 3
     finally:
         engine.stop()
 
