@@ -682,3 +682,111 @@ def test_create_images_outputs_vs_reference(ref):
         sys.path.remove(REF_SRC)
         for k in overrides:
             ref.config.override(k, getattr(type(ref.config), k))
+
+
+def test_full_loss_gradients_vs_reference(ref):
+    """End-to-end GRADIENT parity: d full_loss / d params matches the
+    reference's torch autograd with shared weights — pins the whole
+    backward chain (losses -> soft-argmax -> RefineNet -> projection ->
+    heatmaps -> EyeNet -> ResNet) in one assertion set."""
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.utils import torch_convert
+    torch = ref.torch
+    _install_torchvision_resnet_stub(torch)
+
+    overrides = {'refine_net_enabled': True, 'load_screen_content': True}
+    for k, v in overrides.items():
+        ref.config.override(k, v)
+    sys.path.insert(0, REF_SRC)
+    try:
+        import models.eve as ref_eve_mod
+        ref_model = ref_eve_mod.EVE(output_predictions=True)
+        ref_model.eval()  # eval mode: no offset-augmentation randomness
+        # The zero-initialized head layers (gaze fc, refine final conv)
+        # mathematically zero the gradients of everything upstream of
+        # them; perturb them so gradient flow reaches the backbones.
+        with torch.no_grad():
+            gen = torch.Generator().manual_seed(17)
+            for w in (ref_model.eye_net.fc_to_gaze[-2].weight,
+                      ref_model.refine_net.final[2].weight):
+                w.copy_(torch.empty_like(w).uniform_(-0.01, 0.01,
+                                                     generator=gen))
+        eye_sd = torch_convert.torch_state_dict_to_numpy(
+            ref_model.eye_net.state_dict())
+        refine_sd = torch_convert.torch_state_dict_to_numpy(
+            ref_model.refine_net.state_dict())
+        params = {'eye_net': torch_convert.convert_eye_net(eye_sd),
+                  'refine_net': torch_convert.convert_refine_net(refine_sd)}
+
+        rng = np.random.RandomState(31)
+        from eve_tpu.data.synthetic import make_synthetic_batch
+        batch_np = make_synthetic_batch(rng, batch_size=2, sequence_len=3,
+                                        eyes_size=128)
+        torch_batch = _to_torch_batch(torch, batch_np)
+
+        out_ref = ref_model(torch_batch)  # NOT no_grad: we backward below
+        ref_model.zero_grad()
+        out_ref['full_loss'].backward()
+
+        spec = eve_lib.EveSpec(refine_net_enabled=True,
+                               load_screen_content=True)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+        def loss_fn(p):
+            return eve_lib.forward(spec, p, batch, training=False,
+                                   output_predictions=True)['full_loss']
+
+        grads = jax.grad(loss_fn)(params)
+
+        # (ours path, torch param, transform torch grad -> our layout)
+        def lin(g):  # torch Linear (O, I) -> (I, O)
+            return g.T
+
+        def conv(g):  # torch conv (O, I, kh, kw) -> HWIO
+            return np.transpose(g, (2, 3, 1, 0))
+
+        # Shallow heads compare element-wise; the two backbone-entry
+        # tensors sit at the end of the longest backward chains (through
+        # the beta=100 soft-argmax backward, which amplifies f32
+        # reordering noise quadratically), so they compare by direction
+        # (cosine) and magnitude (norm ratio) instead.
+        checks = [
+            (('eye_net', 'fc_to_gaze_0', 'kernel'),
+             ref_model.eye_net.fc_to_gaze[0].weight.grad, lin, False),
+            (('eye_net', 'fc_common_0', 'kernel'),
+             ref_model.eye_net.fc_common[0].weight.grad, lin, False),
+            (('eye_net', 'cnn', 'conv1', 'kernel'),
+             ref_model.eye_net.cnn_layers.conv1.weight.grad, conv, True),
+            (('refine_net', 'final_2', 'kernel'),
+             ref_model.refine_net.final[2].weight.grad, conv, False),
+            (('refine_net', 'initial_0', 'kernel'),
+             ref_model.refine_net.initial[0].weight.grad, conv, True),
+        ]
+        for path, torch_grad, tf, deep in checks:
+            node = grads
+            for part in path:
+                node = node[part]
+            ours = np.asarray(node, np.float32).ravel()
+            want = tf(torch_grad.detach().numpy().astype(np.float32)).ravel()
+            name = '/'.join(path)
+            if deep:
+                cos = float(np.dot(ours, want) /
+                            (np.linalg.norm(ours) * np.linalg.norm(want)
+                             + 1e-12))
+                ratio = float(np.linalg.norm(ours) /
+                              (np.linalg.norm(want) + 1e-12))
+                assert cos > 0.999, (name, cos)
+                assert abs(ratio - 1.0) < 1e-2, (name, ratio)
+            else:
+                scale = max(np.abs(want).max(), 1e-8)
+                np.testing.assert_allclose(
+                    ours / scale, want / scale, rtol=5e-3, atol=2e-3,
+                    err_msg=name)
+            assert np.abs(want).max() > 0, 'zero reference grad at %s' % (
+                '/'.join(path),)
+    finally:
+        sys.path.remove(REF_SRC)
+        for k in overrides:
+            ref.config.override(k, getattr(type(ref.config), k))
