@@ -240,6 +240,16 @@ class Experiment:
         num_params = sum(x.size for x in
                          jax.tree_util.tree_leaves(self.state.params))
         logger.info('There are %d parameters.', num_params)
+        # Construction-time pretrained bootstrap (reference
+        # src/models/eve.py:55-67): configs/refine_net.json trains a
+        # RefineNet on top of the released FROZEN EyeNet, so the frozen
+        # weights must be the released ones, not the random init. Applied
+        # before resume so checkpoints of this run take precedence.
+        if (cfg.eye_net_load_pretrained or
+                (cfg.refine_net_enabled and cfg.refine_net_load_pretrained)):
+            from eve_tpu.utils.load_model import bootstrap_pretrained
+            loaded = bootstrap_pretrained(cfg, self.state.params)
+            logger.info('Loaded pretrained components: %s', loaded)
         # Resume BEFORE replication: the checkpoint loader returns host
         # arrays, which would silently drop the mesh placement if loaded
         # afterwards. In multi-host runs only the primary saved checkpoints

@@ -52,3 +52,58 @@ def load_pretrained_params(config, which, pretrained_dir=None):
                    'fetch from %s%s', fname, search or '[]',
                    MODEL_URL_PRE, fname)
     return None
+
+
+def _tree_shapes(tree, prefix=''):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_shapes(v, prefix + k + '/'))
+        else:
+            out[prefix + k] = tuple(v.shape)
+    return out
+
+
+def bootstrap_pretrained(config, params, pretrained_dir=None):
+    """Construction-time pretrained bootstrap for the TRAINING path.
+
+    The reference loads released EyeNet/RefineNet weights at model
+    construction when ``eye_net_load_pretrained`` /
+    ``refine_net_load_pretrained`` are set (src/models/eve.py:55-67 via
+    src/utils/load_model.py:35-55), so ``train.py configs/refine_net.json``
+    trains a RefineNet on top of the released frozen EyeNet. Mutates
+    ``params`` in place and returns the list of components loaded.
+
+    Raises FileNotFoundError when a flag is set but the weights are absent:
+    the reference fails at download time, and silently training against a
+    frozen *random* EyeNet would corrupt the two-stage workflow.
+    """
+    wanted = []
+    if config.eye_net_load_pretrained:
+        wanted.append('eye_net')
+    if config.refine_net_enabled and config.refine_net_load_pretrained:
+        wanted.append('refine_net')
+    loaded = []
+    for which in wanted:
+        new = load_pretrained_params(config, which, pretrained_dir)
+        if new is None:
+            fname = pretrained_filename(config, which)
+            search = [d for d in (pretrained_dir,
+                                  os.environ.get('EVE_PRETRAINED_DIR')) if d]
+            raise FileNotFoundError(
+                'config.%s_load_pretrained is set but %s was not found '
+                '(searched: %s). Download it from %s%s and place it under '
+                '$EVE_PRETRAINED_DIR; refusing to train against a randomly '
+                'initialized %s.' % (which, fname, search or ['<unset>'],
+                                     MODEL_URL_PRE, fname, which))
+        want_shapes = _tree_shapes(params[which])
+        got_shapes = _tree_shapes(new)
+        if want_shapes != got_shapes:
+            diff = sorted(set(want_shapes.items())
+                          ^ set(got_shapes.items()))
+            raise ValueError(
+                'Pretrained %s does not match the configured architecture; '
+                'mismatched entries: %s' % (which, diff[:10]))
+        params[which] = new
+        loaded.append(which)
+    return loaded

@@ -151,6 +151,100 @@ def convert_refine_net(state_dict, num_enc_blocks=(1, 2, 2, 2, 2),
     return out
 
 
+def _conv_inv(v):
+    """flax (KH, KW, I, O) -> torch (O, I, KH, KW)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(v), (3, 2, 0, 1)))
+
+
+def eye_net_params_to_torch(params):
+    """Inverse of :func:`convert_eye_net`: flax tree -> torch state dict.
+
+    Lets trained eve_tpu weights be exported back into the reference's
+    release format (src/utils/load_model.py:35-55 file layout) and pins the
+    converter with round-trip tests. Values are numpy arrays in torch layout.
+    """
+    sd = {}
+    for name, sub in params.items():
+        if name == 'cnn':
+            for mod, p in sub.items():
+                if mod == 'conv1':
+                    sd['cnn_layers.conv1.weight'] = _conv_inv(p['kernel'])
+                elif mod == 'fc':
+                    sd['cnn_layers.fc.weight'] = np.ascontiguousarray(
+                        np.asarray(p['kernel']).T)
+                    sd['cnn_layers.fc.bias'] = np.asarray(p['bias'])
+                elif mod.startswith('layer'):
+                    lname, idx = mod.split('_')
+                    for cname, cp in p.items():
+                        tkey = ('downsample.0' if cname == 'downsample_conv'
+                                else cname)
+                        sd[f'cnn_layers.{lname}.{idx}.{tkey}.weight'] = \
+                            _conv_inv(cp['kernel'])
+                else:
+                    raise KeyError('Unmapped EyeNet cnn module: %s' % mod)
+        elif name.startswith('rnn_cell_'):
+            idx = name[len('rnn_cell_'):]
+            for pkey, v in sub.items():
+                sd[f'rnn_cells.{idx}.{pkey}'] = np.asarray(v)
+        else:
+            # fc_common_0 / fc_to_gaze_2 / fc_to_pupil_0 / static_fc_0
+            mod, idx = name.rsplit('_', 1)
+            sd[f'{mod}.{idx}.weight'] = np.ascontiguousarray(
+                np.asarray(sub['kernel']).T)
+            if 'bias' in sub:  # fc_to_gaze.2 has bias=False (eye_net.py:84)
+                sd[f'{mod}.{idx}.bias'] = np.asarray(sub['bias'])
+    return sd
+
+
+_PREACT_INV = {
+    'in1': 'layers.0', 'conv1': 'layers.2', 'in2': 'layers.3',
+    'conv2': 'layers.5', 'skip_in': 'skip_layer.0', 'skip_conv': 'skip_layer.2',
+}
+
+
+def refine_net_params_to_torch(params):
+    """Inverse of :func:`convert_refine_net`: flax tree -> torch state dict."""
+    sd = {}
+
+    def put_mod(prefix, p):
+        if 'kernel' in p:
+            sd[prefix + '.weight'] = _conv_inv(p['kernel'])
+            if 'bias' in p:
+                sd[prefix + '.bias'] = np.asarray(p['bias'])
+        else:  # instance norm: scale/bias -> weight/bias
+            sd[prefix + '.weight'] = np.asarray(p['scale'])
+            sd[prefix + '.bias'] = np.asarray(p['bias'])
+
+    for name, sub in params.items():
+        if name in ('initial_0', 'initial_1', 'initial_3',
+                    'final_0', 'final_2'):
+            mod, idx = name.rsplit('_', 1)
+            put_mod(f'{mod}.{idx}', sub)
+        elif name.startswith('enc') or name.startswith('dec'):
+            kind, rest = name[:3], name[3:]
+            k, i = rest.split('_')
+            prefix = 'network.' + 'between_module.' * int(k)
+            tmod = 'encoder_blocks' if kind == 'enc' else 'decoder_blocks'
+            for fname, p in sub.items():
+                put_mod(f'{prefix}{tmod}.{i}.{_PREACT_INV[fname]}', p)
+        elif name.startswith('rnn_cell_'):
+            idx = name[len('rnn_cell_'):]
+            prefix = 'network.' + 'between_module.' * 5
+            for conv_name, p in sub.items():
+                put_mod(f'{prefix}rnn_cells.{idx}.{conv_name}', p)
+        else:
+            raise KeyError('Unmapped RefineNet module: %s' % name)
+    return sd
+
+
+def save_reference_checkpoint(path, params, which):
+    """Save an eve_tpu component tree as a reference-format ``.pt`` file."""
+    import torch
+    sd = (eye_net_params_to_torch(params) if which == 'eye_net'
+          else refine_net_params_to_torch(params))
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, path)
+
+
 def torch_state_dict_to_numpy(state_dict):
     """Detach a torch state dict to plain numpy (requires torch)."""
     return {k: v.detach().cpu().numpy() for k, v in state_dict.items()}

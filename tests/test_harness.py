@@ -124,6 +124,67 @@ def test_resume_from_checkpoint(dataset_root, config):
     assert exp2.last_step == len(first_steps)
 
 
+def test_pretrained_bootstrap_in_training(dataset_root, config, tmp_path,
+                                          monkeypatch):
+    """eye_net_load_pretrained must seed training from the release weights.
+
+    Reference behavior: EVE() loads released weights at construction when
+    the flags are set (src/models/eve.py:55-67), so the frozen-EyeNet
+    two-stage workflow (configs/refine_net.json) starts from them. We
+    generate fixture weights in the release .pt format from a
+    differently-seeded init and assert the train state picks them up (and,
+    frozen, keeps them bit-exact through real optimizer steps).
+    """
+    torch = pytest.importorskip('torch')
+    import jax
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.utils import torch_convert
+    from eve_tpu.utils.load_model import pretrained_filename
+
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'eye_net_load_pretrained': True,
+                        'eye_net_frozen': True})
+    spec = eve_lib.EveSpec.from_config(config)
+    donor = eve_lib.init_params(spec, jax.random.PRNGKey(123))
+    pdir = tmp_path / 'pretrained'
+    pdir.mkdir()
+    torch_convert.save_reference_checkpoint(
+        str(pdir / pretrained_filename(config, 'eye_net')),
+        donor['eye_net'], 'eye_net')
+    monkeypatch.setenv('EVE_PRETRAINED_DIR', str(pdir))
+
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    steps = [s for s, m, _ in harness.main_loop_iterator(
+        exp, train_data, test_data)]
+    assert len(steps) >= 2
+
+    got = {k: np.asarray(v) for k, v in
+           exp.state.params['eye_net']['fc_to_gaze_0'].items()}
+    want = {k: np.asarray(v) for k, v in
+            donor['eye_net']['fc_to_gaze_0'].items()}
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_pretrained_bootstrap_missing_weights_raises(dataset_root, config,
+                                                     tmp_path, monkeypatch):
+    """Absent release weights must abort loudly, never train random-frozen."""
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'eye_net_load_pretrained': True})
+    empty = tmp_path / 'empty'
+    empty.mkdir()
+    monkeypatch.setenv('EVE_PRETRAINED_DIR', str(empty))
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    with pytest.raises(FileNotFoundError, match='eye_net_load_pretrained'):
+        exp.build_training(1)
+
+
 def test_make_grid():
     imgs = np.random.rand(5, 8, 10, 3).astype(np.float32)
     grid = make_grid(imgs, nrow=3, padding=1)
