@@ -28,6 +28,67 @@ def _rotation_np(pitchyaw):
     return (Ry @ Rx).astype(np.float32)
 
 
+# Pupil-disc gaze encoding: the disc center offset from the patch center is
+# linear in the gaze pitchyaw, so a CNN *can* regress gaze from pixels and
+# the end-to-end learning path (pixels -> EyeNet -> angular loss) is
+# exercised for real, not just the screen-prior RefineNet path. Full scale
+# GAZE_ENC_RANGE rad maps to +-GAZE_ENC_AMPL of the patch; with the disc
+# radius this keeps the disc inside [0.12, 0.88] of the patch, clear of the
+# frame-index strip written by write_synthetic_dataset.
+GAZE_ENC_RANGE = 1.0
+GAZE_ENC_AMPL = 0.25
+GAZE_ENC_RADIUS = 0.09
+
+
+def render_gaze_patches(g_pitchyaw, size):
+    """Render eye patches whose pupil position encodes gaze.
+
+    Args:
+      g_pitchyaw: (..., 2) gaze directions (pitch, yaw) in radians.
+      size: patch height/width in pixels.
+
+    Returns:
+      (..., size, size, 3) uint8 patches: dark background, bright disc at
+      center + (pitch, yaw) / GAZE_ENC_RANGE * GAZE_ENC_AMPL * size.
+    """
+    g = np.asarray(g_pitchyaw, np.float32)
+    lead = g.shape[:-1]
+    enc = np.clip(g / GAZE_ENC_RANGE, -1.0, 1.0) * GAZE_ENC_AMPL
+    cy = (0.5 + enc[..., 0]) * size  # pitch -> vertical
+    cx = (0.5 + enc[..., 1]) * size  # yaw -> horizontal
+    yy = np.arange(size, dtype=np.float32)[:, None]
+    xx = np.arange(size, dtype=np.float32)[None, :]
+    d2 = ((yy - cy[..., None, None]) ** 2 +
+          (xx - cx[..., None, None]) ** 2)
+    r2 = (GAZE_ENC_RADIUS * size) ** 2
+    disc = d2 <= r2
+    patch = np.full(lead + (size, size), 30, np.uint8)
+    patch[disc] = 230
+    return np.repeat(patch[..., None], 3, axis=-1)
+
+
+def decode_gaze_from_patch(patch_uint8):
+    """Inverse of :func:`render_gaze_patches` (centroid of bright pixels).
+
+    Tolerates codec loss; used by tests to confirm the encoding survives
+    video round-trips. Returns (pitch, yaw) in radians.
+    """
+    p = np.asarray(patch_uint8, np.float32).mean(-1)
+    size = p.shape[-1]
+    mask = (p > 128).astype(np.float32)
+    # Ignore the frame-index band written by write_synthetic_dataset (top
+    # rows, bright for late frames); the disc never enters the top 0.15.
+    mask[..., :int(0.15 * size), :] = 0.0
+    yy = np.arange(size, dtype=np.float32)[:, None]
+    xx = np.arange(size, dtype=np.float32)[None, :]
+    total = np.maximum(mask.sum((-2, -1)), 1e-6)
+    cy = (mask * yy).sum((-2, -1)) / total
+    cx = (mask * xx).sum((-2, -1)) / total
+    pitch = (cy / size - 0.5) / GAZE_ENC_AMPL * GAZE_ENC_RANGE
+    yaw = (cx / size - 0.5) / GAZE_ENC_AMPL * GAZE_ENC_RANGE
+    return np.stack([pitch, yaw], -1)
+
+
 def make_synthetic_batch(rng, batch_size=2, sequence_len=4, eyes_size=64,
                          screen_size=(128, 72), with_screen=True,
                          with_gt=True, fps=30.0, frame_dtype=np.float32):
@@ -45,21 +106,12 @@ def make_synthetic_batch(rng, batch_size=2, sequence_len=4, eyes_size=64,
     ppm = np.array([1920.0 / mm_w, 1080.0 / mm_h], np.float32)
 
     batch = {}
-    if frame_dtype == np.uint8:
-        batch['left_eye_patch'] = rng.randint(
-            0, 256, (B, T, eyes_size, eyes_size, 3)).astype(np.uint8)
-        batch['right_eye_patch'] = rng.randint(
-            0, 256, (B, T, eyes_size, eyes_size, 3)).astype(np.uint8)
-        if with_screen:
+    if with_screen:
+        if frame_dtype == np.uint8:
             batch['screen_frame'] = rng.randint(
                 0, 256, (B, T, screen_size[1], screen_size[0], 3)
             ).astype(np.uint8)
-    else:
-        batch['left_eye_patch'] = rng.uniform(
-            -1, 1, (B, T, eyes_size, eyes_size, 3)).astype(np.float32)
-        batch['right_eye_patch'] = rng.uniform(
-            -1, 1, (B, T, eyes_size, eyes_size, 3)).astype(np.float32)
-        if with_screen:
+        else:
             batch['screen_frame'] = rng.uniform(
                 0, 1, (B, T, screen_size[1], screen_size[0], 3)
             ).astype(np.float32)
@@ -124,6 +176,20 @@ def make_synthetic_batch(rng, batch_size=2, sequence_len=4, eyes_size=64,
                 2, 5, (B, T)).astype(np.float32)
             batch[side + '_p_validity'] = ones.copy()
 
+    # Eye patches: pupil-disc rendering of the GT gaze (so the CNN can learn
+    # pixels -> gaze); pure noise when no GT exists to encode.
+    for side in ('left', 'right'):
+        if with_gt:
+            patch = render_gaze_patches(batch[side + '_g_tobii'], eyes_size)
+        else:
+            patch = rng.randint(0, 256, (B, T, eyes_size, eyes_size, 3)
+                                ).astype(np.uint8)
+        if frame_dtype == np.uint8:
+            batch[side + '_eye_patch'] = patch
+        else:
+            batch[side + '_eye_patch'] = (
+                patch.astype(np.float32) * (2.0 / 255.0) - 1.0)
+
     return batch
 
 
@@ -151,9 +217,11 @@ def write_synthetic_dataset(root, participants=('train01',),
 
     Per participant/stimulus: camera ``<cam>_eyes.mp4`` (2*eyes x eyes strip,
     30 fps), ``<cam>.h5`` labels, ``<cam>.timestamps.txt``; plus
-    ``screen.128x72.mp4`` + ``screen.timestamps.txt``. Frame pixel values
-    encode the frame index (value = 5 + 6*index) so frame-exact decode is
-    verifiable through the lossy codec.
+    ``screen.128x72.mp4`` + ``screen.timestamps.txt``. Eye patches render the
+    GT gaze as a pupil disc (:func:`render_gaze_patches`), making the
+    pixels->gaze path genuinely learnable; a top band (and, in the screen/
+    full-frame videos, every pixel) encodes the frame index (5 + 6*index) so
+    frame-exact decode stays verifiable through the lossy codec.
     """
     import h5py
     import os
@@ -196,12 +264,6 @@ def write_synthetic_dataset(root, participants=('train01',),
                 Nc = N * cam_fps // fps
                 cam_ts = base_ns + np.arange(Nc, dtype=np.int64) * \
                     int(1e9 / cam_fps)
-                eyes_frames = np.zeros(
-                    (Nc, eyes_size, 2 * eyes_size, 3), np.uint8)
-                for i in range(Nc):
-                    eyes_frames[i] = min(5 + 6 * i, 250)
-                _write_video(os.path.join(d, '%s_eyes.mp4' % cam),
-                             eyes_frames, cam_fps)
                 # Small stand-in for the full camera frame video (the real
                 # dataset ships 1080p; inference.py takes this path as its
                 # --input-path identifier).
@@ -241,6 +303,20 @@ def write_synthetic_dataset(root, participants=('train01',),
                 g_right = np.asarray(geo.calculate_combined_gaze_direction(
                     jnp.asarray(right_o), jnp.asarray(PoG_mm),
                     jnp.asarray(head_R), jnp.asarray(cam_T_b)))
+
+                # Eyes video: per-frame pupil-disc gaze encoding. The strip
+                # is [right | left] (the LEFT patch is the right half,
+                # reference eve_sequences.py:283-285); a thin top band
+                # encodes the frame index (5 + 6*i) for frame-exactness
+                # probes, clear of the disc excursion range.
+                left_half = render_gaze_patches(g_left, eyes_size)
+                right_half = render_gaze_patches(g_right, eyes_size)
+                eyes_frames = np.concatenate([right_half, left_half], axis=2)
+                band = max(eyes_size // 12, 2)
+                for i in range(Nc):
+                    eyes_frames[i, :band] = min(5 + 6 * i, 250)
+                _write_video(os.path.join(d, '%s_eyes.mp4' % cam),
+                             eyes_frames, cam_fps)
 
                 ones = np.ones(Nc, np.uint8)
                 with h5py.File(os.path.join(d, '%s.h5' % cam), 'w') as f:

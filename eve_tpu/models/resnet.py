@@ -50,6 +50,19 @@ class ResNet18IN(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (N, H, W, 3) in [-1, 1]
+        # Inputs below 33px reach layer4 at 1x1 spatial, where per-instance
+        # normalization maps every activation to exactly 0 — the output then
+        # carries NO information about the input (verified empirically; the
+        # reference always runs 128x128 eyes so never hits this). Warn, not
+        # raise: plumbing tests legitimately run tiny patches where pixel
+        # information flow is irrelevant, but a real model trained this
+        # small would silently ignore its input.
+        if min(x.shape[-3:-1]) < 33:
+            import logging
+            logging.getLogger(__name__).warning(
+                'ResNet18IN input %s is below 33px: instance norm at the '
+                '1x1 layer4 resolution erases the pixel signal; the model '
+                'cannot learn from these patches.', x.shape)
         x = x.astype(self.compute_dtype)
         x = Conv(64, 7, 2, 3, use_bias=False, name='conv1')(x)
         x = InstanceNorm(64, affine=False, name='in1')(x)

@@ -45,11 +45,12 @@ def test_video_reader_frame_exact(dataset_root):
     ts, frames = VideoReader(video, frame_indices=indices).get_frames()
     assert frames.shape == (5, 128, 256, 3)
     assert len(ts) == 5
-    # Pixel values encode the frame index (5 + 6*i), codec-lossy tolerance.
+    # The top band encodes the frame index (5 + 6*i), codec-lossy tolerance
+    # (probe the inner rows of the 128//12=10-row band, clear of edge blur).
     for j, i in enumerate(indices):
         expected = 5 + 6 * i
-        got = float(frames[j].mean())
-        assert abs(got - expected) < 4, (i, expected, got)
+        got = float(frames[j][2:6].mean())
+        assert abs(got - expected) < 6, (i, expected, got)
 
 
 def test_segmentation_cache(dataset_root, config, tmp_path):
@@ -114,10 +115,40 @@ def test_basler_60fps_decimation(tmp_path_factory, config, tmp_path):
         cameras_to_use=['basler'], types_of_stimuli=['image'],
         cache_dir=str(tmp_path / 'segcache'))
     item = ds[0]
-    # Pixel values encode the frame index (5 + 6*i); patches are in [-1, 1].
+    # The top band encodes the frame index (5 + 6*i); patches are in [-1, 1].
     for t, i in enumerate(cam[0]):
-        got = (float(item['left_eye_patch'][t].mean()) + 1.0) * (255.0 / 2.0)
-        assert abs(got - (5 + 6 * i)) < 4, (t, i, got)
+        got = (float(item['left_eye_patch'][t][2:6].mean()) + 1.0) \
+            * (255.0 / 2.0)
+        assert abs(got - (5 + 6 * i)) < 6, (t, i, got)
+
+
+def test_gaze_patch_encoding_roundtrip():
+    """render_gaze_patches must be invertible to ~1px precision: the fixture
+    only proves the pixels->gaze learning path if the pixels really do
+    determine the gaze."""
+    from eve_tpu.data.synthetic import (
+        render_gaze_patches, decode_gaze_from_patch, GAZE_ENC_RANGE)
+    rng = np.random.RandomState(3)
+    g = rng.uniform(-0.45, 0.45, (16, 2)).astype(np.float32)
+    patches = render_gaze_patches(g, 128)
+    assert patches.shape == (16, 128, 128, 3)
+    decoded = decode_gaze_from_patch(patches)
+    np.testing.assert_allclose(decoded, g, atol=0.02)
+    assert GAZE_ENC_RANGE >= 0.5  # fixture gazes stay inside full scale
+
+
+def test_dataset_gaze_encoding_survives_codec(dataset_root, config, tmp_path):
+    """Eye patches decoded from the mp4 must still encode the h5 gaze: the
+    learnable mapping has to survive the lossy video round-trip."""
+    from eve_tpu.data.synthetic import decode_gaze_from_patch
+    ds = make_dataset(dataset_root, config, tmp_path)
+    item = ds[0]
+    for side in ('left', 'right'):
+        patch = (item[side + '_eye_patch'] + 1.0) * (255.0 / 2.0)
+        decoded = decode_gaze_from_patch(patch)
+        valid = item[side + '_g_tobii_validity'] > 0
+        err = np.abs(decoded - item[side + '_g_tobii'])[valid]
+        assert err.max() < 0.06, (side, err.max())
 
 
 def test_rodrigues_roundtrip(dataset_root, config, tmp_path):
