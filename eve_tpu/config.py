@@ -210,6 +210,13 @@ class DefaultConfig(object):
     serve_port = 8000
     serve_max_batch = 8
     serve_max_delay_ms = 5.0
+    # Backpressure: pending requests beyond serve_max_queue are rejected
+    # (HTTP 429); bodies over serve_max_body_mb are rejected before the read
+    # (HTTP 413); requests older than serve_request_timeout_s fail instead
+    # of occupying batch slots.
+    serve_max_queue = 64
+    serve_max_body_mb = 256
+    serve_request_timeout_s = 30.0
 
     # Reference-compat switches: replicate reference quirks bit-for-bit
     # (LambdaLR absolute-vs-factor LR mixup; CLSTM bottleneck output discard).

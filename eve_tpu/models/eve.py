@@ -213,8 +213,13 @@ def calculate_additional_labels(spec: EveSpec, batch, rng, training):
         if 'left_kappa_fake' in batch:
             # Caller-supplied kappas (deterministic replay / debugging /
             # parity testing); the reference always draws from np.random
-            # (eve.py:468) and offers no injection hook.
-            pass
+            # (eve.py:468) and offers no injection hook. Both sides must be
+            # supplied together — a missing right_kappa_fake would otherwise
+            # surface as an opaque KeyError deep in the augmentation branch
+            # during jit tracing.
+            assert 'right_kappa_fake' in batch, (
+                'left_kappa_fake supplied without right_kappa_fake; inject '
+                'both or neither')
         else:
             assert rng is not None
             kl, kr = jax.random.split(rng)

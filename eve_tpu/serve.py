@@ -62,6 +62,13 @@ class UnknownSessionError(KeyError):
     """The request names a session that does not (or no longer) exist."""
 
 
+class EngineOverloadedError(RuntimeError):
+    """The request queue is full or the request timed out waiting in it.
+
+    The HTTP front-end maps this to 429 + Retry-After so clients load-shed
+    instead of growing host memory without bound."""
+
+
 @dataclass
 class _Request:
     inputs: Dict[str, np.ndarray]  # per-clip arrays, leading dim T
@@ -85,13 +92,17 @@ class ServingEngine:
 
     def __init__(self, spec, params, *, max_batch=8, max_delay_ms=5.0,
                  served_outputs=DEFAULT_SERVED_OUTPUTS,
-                 max_sessions=1024, max_signatures=8):
+                 max_sessions=1024, max_signatures=8,
+                 max_queue=64, request_timeout_s=30.0):
         """``served_outputs`` bounds what the jitted step returns (None =
         every forward output). ``max_sessions`` / ``max_signatures`` bound
         the two client-controlled growth axes: open sessions (state arrays)
         and distinct input (shape, dtype) signatures (each costs one XLA
         compilation, executed on the batcher thread — the first request of
-        a new signature stalls serving for that compile)."""
+        a new signature stalls serving for that compile). ``max_queue``
+        bounds pending requests (overflow raises EngineOverloadedError
+        rather than growing host memory); ``request_timeout_s`` fails
+        requests that waited longer than that in the queue/deferred list."""
         self.spec = spec
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -99,9 +110,12 @@ class ServingEngine:
                                if served_outputs is not None else None)
         self.max_sessions = int(max_sessions)
         self.max_signatures = int(max_signatures)
+        self.request_timeout_s = float(request_timeout_s)
         self._params = jax.device_put(params)
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=int(max_queue))
         self._deferred: List[_Request] = []  # owned by the batcher thread
+        self._deferred_sessions = set()      # sessions with a deferred chunk
         self._sessions: Dict[str, Session] = {}
         self._sessions_lock = threading.Lock()
         self._zero_state = jax.tree.map(
@@ -109,7 +123,7 @@ class ServingEngine:
         self._jit_cache = {}
         self.stats = {
             'requests': 0, 'batches': 0, 'batched_slots': 0,
-            'errors': 0, 'sessions_opened': 0,
+            'errors': 0, 'sessions_opened': 0, 'rejected': 0, 'timed_out': 0,
         }
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -144,6 +158,8 @@ class ServingEngine:
         arrays (batch dim stripped). With a ``session_id``, recurrent state
         is carried from this session's previous chunk.
         """
+        if self._stop.is_set():
+            raise RuntimeError('serving engine stopped')
         if session_id is not None:
             with self._sessions_lock:
                 if session_id not in self._sessions:
@@ -155,7 +171,17 @@ class ServingEngine:
             enqueued_at=time.perf_counter())
         req.signature = tuple(sorted(
             (k, v.shape, str(v.dtype)) for k, v in req.inputs.items()))
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            self.stats['rejected'] += 1
+            raise EngineOverloadedError(
+                'request queue full (%d pending); retry later'
+                % self._queue.maxsize)
+        if self._stop.is_set():
+            # Race: stop() may have drained the queue before our put landed;
+            # make sure this request cannot dangle unresolved forever.
+            self._fail_queued(RuntimeError('serving engine stopped'))
         return req.future
 
     def infer(self, inputs, session_id=None, timeout=120.0):
@@ -171,6 +197,10 @@ class ServingEngine:
             if not r.future.done():
                 r.future.set_exception(err)
         self._deferred = []
+        self._deferred_sessions = set()
+        self._fail_queued(err)
+
+    def _fail_queued(self, err):
         while True:
             try:
                 r = self._queue.get_nowait()
@@ -178,6 +208,15 @@ class ServingEngine:
                 break
             if not r.future.done():
                 r.future.set_exception(err)
+
+    def get_stats(self):
+        """Counters plus live queue/deferred depth (for monitoring)."""
+        out = dict(self.stats)
+        out['queue_depth'] = self._queue.qsize()
+        out['deferred'] = len(self._deferred)
+        with self._sessions_lock:
+            out['sessions_open'] = len(self._sessions)
+        return out
 
     # ---------------- batcher ----------------
 
@@ -189,14 +228,15 @@ class ServingEngine:
             sessions_in_batch = set()
             # Seed from deferred (ordering: oldest first), else block briefly.
             pending, self._deferred = self._deferred, []
+            self._deferred_sessions = set()
             for r in pending:
-                self._try_add(r, reqs, self._deferred, sessions_in_batch)
+                self._try_add(r, reqs, sessions_in_batch)
             if not reqs:
                 try:
                     first = self._queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                self._try_add(first, reqs, self._deferred, sessions_in_batch)
+                self._try_add(first, reqs, sessions_in_batch)
                 if not reqs:
                     continue
             deadline = time.perf_counter() + self.max_delay_s
@@ -208,7 +248,7 @@ class ServingEngine:
                     r = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
-                self._try_add(r, reqs, self._deferred, sessions_in_batch)
+                self._try_add(r, reqs, sessions_in_batch)
             try:
                 self._dispatch(reqs)
             except Exception as e:  # pragma: no cover - defensive
@@ -232,19 +272,42 @@ class ServingEngine:
                         else:
                             keep.append(r)
                     self._deferred = keep
+                    self._deferred_sessions = {
+                        r.session_id for r in keep
+                        if r.session_id is not None}
 
-    def _try_add(self, r, reqs, deferred, sessions_in_batch):
-        """Add request unless its session already has a chunk in the batch
-        or the signature differs (both defer to a later batch)."""
+    def _try_add(self, r, reqs, sessions_in_batch):
+        """Add request to the batch, or defer/expire it.
+
+        Defers when (a) its session already has an EARLIER chunk deferred —
+        admitting a later chunk would run it on pre-predecessor recurrent
+        state even if its signature happens to match the batch head; (b) its
+        session already has a chunk in this batch; (c) its signature differs
+        from the batch head's; or (d) the batch is full. Requests older than
+        ``request_timeout_s`` fail with EngineOverloadedError instead of
+        occupying a slot."""
+        if (time.perf_counter() - r.enqueued_at) > self.request_timeout_s:
+            self.stats['errors'] += 1
+            self.stats['timed_out'] += 1
+            if not r.future.done():
+                r.future.set_exception(EngineOverloadedError(
+                    'request waited > %.1fs in queue' % self.request_timeout_s))
+            return False
+
+        def defer():
+            self._deferred.append(r)
+            if r.session_id is not None:
+                self._deferred_sessions.add(r.session_id)
+            return False
+
+        if r.session_id is not None and r.session_id in self._deferred_sessions:
+            return defer()  # strict per-session submission order
         if reqs and r.signature != reqs[0].signature:
-            deferred.append(r)
-            return False
+            return defer()
         if r.session_id is not None and r.session_id in sessions_in_batch:
-            deferred.append(r)
-            return False
+            return defer()
         if len(reqs) >= self.max_batch:
-            deferred.append(r)
-            return False
+            return defer()
         reqs.append(r)
         if r.session_id is not None:
             sessions_in_batch.add(r.session_id)
@@ -359,16 +422,23 @@ def _npz_parse(body):
 
 
 def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
-                     served_outputs=DEFAULT_SERVED_OUTPUTS):
+                     served_outputs=DEFAULT_SERVED_OUTPUTS,
+                     max_body_bytes=256 * 1024 * 1024):
     """Build a ``ThreadingHTTPServer`` exposing the engine.
 
     Routes:
       GET  /healthz                      -> {"status": "ok"}
-      GET  /v1/stats                     -> engine stats JSON
+      GET  /v1/stats                     -> engine stats JSON (incl. live
+                                            queue depth)
       POST /v1/sessions                  -> {"session_id": ...}
       DELETE /v1/sessions/<id>           -> {}
       POST /v1/infer  (npz body; optional X-Session-Id header)
            -> npz of served output arrays
+
+    Overload responses: 413 for bodies over ``max_body_bytes`` (rejected
+    BEFORE reading, so an oversized Content-Length cannot exhaust host
+    memory); 429 + Retry-After when the engine queue is full or the request
+    timed out waiting.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -397,7 +467,7 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
             if self.path == '/healthz':
                 self._json(200, {'status': 'ok'})
             elif self.path == '/v1/stats':
-                self._json(200, dict(engine.stats))
+                self._json(200, engine.get_stats())
             else:
                 self._json(404, {'error': 'not found'})
 
@@ -408,6 +478,15 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                     return
                 if self.path == '/v1/infer':
                     length = int(self.headers.get('Content-Length', 0))
+                    if length > max_body_bytes:
+                        # Refuse BEFORE reading the body; also close the
+                        # connection since the unread body would otherwise
+                        # desync the keep-alive stream.
+                        self.close_connection = True
+                        self._json(413, {
+                            'error': 'body of %d bytes exceeds limit %d'
+                                     % (length, max_body_bytes)})
+                        return
                     inputs = _npz_parse(self.rfile.read(length))
                     sid = self.headers.get('X-Session-Id') or None
                     out = engine.infer(inputs, session_id=sid)
@@ -417,6 +496,14 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                 self._json(404, {'error': 'not found'})
             except UnknownSessionError as e:
                 self._json(404, {'error': str(e)})
+            except EngineOverloadedError as e:
+                self.send_response(429)
+                body = json.dumps({'error': str(e)}).encode()
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Retry-After', '1')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as e:  # noqa: BLE001
                 logger.exception('request failed')
                 self._json(500, {'error': repr(e)})

@@ -42,9 +42,12 @@ def main(argv=None):
     engine = ServingEngine(
         spec, params,
         max_batch=config.serve_max_batch,
-        max_delay_ms=config.serve_max_delay_ms)
-    server = make_http_server(engine, host=config.serve_host,
-                              port=config.serve_port)
+        max_delay_ms=config.serve_max_delay_ms,
+        max_queue=config.serve_max_queue,
+        request_timeout_s=config.serve_request_timeout_s)
+    server = make_http_server(
+        engine, host=config.serve_host, port=config.serve_port,
+        max_body_bytes=config.serve_max_body_mb * 1024 * 1024)
     logger.info('serving on http://%s:%d (max_batch=%d, max_delay=%.1fms)',
                 *server.server_address, config.serve_max_batch,
                 config.serve_max_delay_ms)

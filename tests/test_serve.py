@@ -19,8 +19,9 @@ import pytest
 
 from eve_tpu.data.synthetic import make_synthetic_batch
 from eve_tpu.models import eve as eve_lib
-from eve_tpu.serve import (DEFAULT_SERVED_OUTPUTS, ServingEngine,
-                           UnknownSessionError, make_http_server)
+from eve_tpu.serve import (DEFAULT_SERVED_OUTPUTS, EngineOverloadedError,
+                           ServingEngine, UnknownSessionError,
+                           make_http_server)
 
 
 @pytest.fixture(scope='module')
@@ -171,18 +172,24 @@ def test_session_closed_before_dispatch_fails_request(spec, params):
 
 def test_stop_fails_pending_requests_promptly(spec, params):
     """stop() resolves queued futures with an error instead of leaving
-    callers blocked until their timeout."""
+    callers blocked until their timeout. (submit() itself refuses after
+    stop — see test_submit_after_stop_raises — so the undrained request is
+    planted directly in the queue, as the submit/stop race would.)"""
     import time as time_mod
+
+    from eve_tpu.serve import _Request
 
     engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
     engine._stop.set()  # freeze the batcher before it can drain the queue
     engine._thread.join(timeout=10.0)
     [clip] = _clips(8, 1)
-    fut = engine.submit(clip)
+    req = _Request(inputs=clip, session_id=None,
+                   enqueued_at=time_mod.monotonic())
+    engine._queue.put_nowait(req)
     t0 = time_mod.monotonic()
     engine.stop()
     with pytest.raises(RuntimeError, match='stopped'):
-        fut.result(timeout=60)
+        req.future.result(timeout=60)
     assert time_mod.monotonic() - t0 < 10
 
 
@@ -211,6 +218,143 @@ def test_served_outputs_bound_device_fetch(spec, params):
         assert set(out) <= set(DEFAULT_SERVED_OUTPUTS)
         assert 'PoG_px_final' in out
     finally:
+        engine.stop()
+
+
+def test_same_session_order_across_signature_mismatch(spec, params):
+    """A later same-session chunk whose signature matches the batch head
+    must NOT overtake an earlier chunk deferred on signature mismatch.
+
+    Trigger (advisor finding): another signature is in flight as the batch
+    head; session chunk N (different signature) defers; chunk N+1 (matching
+    the head) previously slipped into the current batch and ran on
+    pre-predecessor recurrent state."""
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=150.0)
+    try:
+        T = 4
+        [clip] = _clips(12, 1, T=T)
+        [other] = _clips(13, 1, T=3)  # T=3 signature: the batch head
+        sid = engine.open_session()
+        fut_other = engine.submit(other)  # seeds the batch, signature T=3
+        chunks = []
+        for t0 in (0, T // 2):  # session chunks, signature T=2
+            chunks.append({k: (v[t0:t0 + T // 2] if v.ndim >= 1 and
+                               v.shape[0] == T else v)
+                           for k, v in clip.items()})
+        f1 = engine.submit(chunks[0], session_id=sid)
+        f2 = engine.submit(chunks[1], session_id=sid)
+        outs = [f1.result(timeout=600), f2.result(timeout=600)]
+        fut_other.result(timeout=600)
+
+        full = _direct(spec, params, clip)
+        for key in ('PoG_px_final', 'left_pupil_size'):
+            streamed = np.concatenate([o[key] for o in outs], axis=0)
+            np.testing.assert_allclose(streamed, np.asarray(full[key])[0],
+                                       rtol=1e-4, atol=1e-3, err_msg=key)
+    finally:
+        engine.stop()
+
+
+def test_queue_overflow_rejects(spec, params):
+    """Submissions beyond max_queue fail fast with EngineOverloadedError
+    instead of growing host memory without bound."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           max_queue=2)
+    engine._stop.set()  # freeze the batcher so the queue cannot drain
+    engine._thread.join(timeout=10.0)
+    engine._stop.clear()  # allow submissions again (batcher stays dead)
+    try:
+        clips = _clips(14, 3)
+        engine.submit(clips[0])
+        engine.submit(clips[1])
+        with pytest.raises(EngineOverloadedError, match='queue full'):
+            engine.submit(clips[2])
+        assert engine.get_stats()['rejected'] == 1
+        assert engine.get_stats()['queue_depth'] == 2
+    finally:
+        engine.stop()
+
+
+def test_request_timeout_in_batcher(spec, params):
+    """Requests older than request_timeout_s fail instead of occupying
+    batch slots."""
+    import time as time_mod
+
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           request_timeout_s=0.2)
+    engine._stop.set()  # hold the request in the queue past its deadline
+    engine._thread.join(timeout=10.0)
+    try:
+        [clip] = _clips(15, 1)
+        engine._stop.clear()
+        fut = engine.submit(clip)
+        time_mod.sleep(0.4)
+        # Restart the batcher so it observes the expired request.
+        engine._thread = threading.Thread(target=engine._loop, daemon=True)
+        engine._thread.start()
+        with pytest.raises(EngineOverloadedError, match='waited'):
+            fut.result(timeout=60)
+        assert engine.stats['timed_out'] == 1
+    finally:
+        engine.stop()
+
+
+def test_submit_after_stop_raises(spec, params):
+    """submit() after stop() raises instead of returning a Future no thread
+    will ever resolve."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    engine.stop()
+    [clip] = _clips(16, 1)
+    with pytest.raises(RuntimeError, match='stopped'):
+        engine.submit(clip)
+
+
+def test_http_overload_and_body_cap(spec, params):
+    """HTTP maps queue overflow to 429 (+Retry-After) and oversized bodies
+    to 413 without reading them."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           max_queue=1)
+    engine._stop.set()  # freeze the batcher: first request fills the queue
+    engine._thread.join(timeout=10.0)
+    engine._stop.clear()
+    server = make_http_server(engine, host='127.0.0.1', port=0,
+                              max_body_bytes=1024 * 1024)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    try:
+        [clip] = _clips(17, 1)
+        buf = io.BytesIO()
+        np.savez(buf, **clip)
+        body = buf.getvalue()
+
+        # Oversized Content-Length: 413 before the body is read.
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.putrequest('POST', '/v1/infer')
+        conn.putheader('Content-Length', str(600 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        resp.read()
+        conn.close()
+
+        # Fill the 1-slot queue directly, then overflow over HTTP -> 429.
+        engine.submit(clip)
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request('POST', '/v1/infer', body=body,
+                     headers={'Content-Length': str(len(body))})
+        resp = conn.getresponse()
+        assert resp.status == 429
+        assert resp.getheader('Retry-After') == '1'
+        resp.read()
+
+        # Stats expose live queue depth.
+        conn.request('GET', '/v1/stats')
+        stats = json.loads(conn.getresponse().read())
+        assert stats['queue_depth'] == 1
+        assert stats['rejected'] == 1
+    finally:
+        server.shutdown()
         engine.stop()
 
 
