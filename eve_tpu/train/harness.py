@@ -91,7 +91,18 @@ def script_init_common(argv=None, description='Train a gaze estimation model.'):
         and hasattr(config, key)
     })
 
+    # The reference always seeds np/torch with 0 and gates only cudnn
+    # determinism on fully_reproducible (training.py:106-112). XLA-on-TPU
+    # has no cudnn-style nondeterministic kernels, so here the flag instead
+    # gates the run-varying RNG streams (data shuffle order, kappa
+    # augmentation): fully_reproducible=True pins them to seed 0 (two runs
+    # are bit-identical — tested), False draws them from entropy so
+    # independent runs see different training noise, the analog of the
+    # reference's run-to-run variation. Parameter INIT stays seed-0 either
+    # way, like the reference's unconditional torch.manual_seed(0).
     np.random.seed(0)
+    global _training_seed
+    _training_seed = None
 
     if config.tpu_multihost:
         mesh_lib.initialize_multihost(
@@ -109,6 +120,38 @@ DATASET_CLASSES = {
     'val': EVESequences_val,
     'test': EVESequences_test,
 }
+
+_training_seed = None
+
+
+def training_seed(config):
+    """Seed for the run-varying RNG streams (shuffle order, kappa draws).
+
+    0 when ``config.fully_reproducible`` (bit-identical reruns), else a
+    process-stable entropy draw (each run trains on a different shuffle /
+    augmentation stream). Cached so the loader and the train-loop PRNGKey
+    agree within one process. In multi-host runs every host must shuffle
+    identically, so the seed stays host-independent: entropy is drawn only
+    on process 0 semantics via the config hash fallback when distributed.
+    """
+    global _training_seed
+    if _training_seed is None:
+        if config.fully_reproducible:
+            _training_seed = 0
+        elif jax.process_count() > 1:
+            # All hosts need the SAME seed without communication at this
+            # point; derive it from wall-clock at minute resolution (hosts
+            # start within the same scheduling window) xor'd with the config
+            # hash — deterministic across the job, varying across runs.
+            cfg_hash = int(hashlib.md5(
+                config.get_full_json().encode()).hexdigest()[:8], 16)
+            _training_seed = (int(time.time()) // 60) ^ cfg_hash
+        else:
+            import os as os_lib
+            _training_seed = int.from_bytes(os_lib.urandom(4), 'little')
+        logger.info('Training seed: %d (fully_reproducible=%s)',
+                    _training_seed, config.fully_reproducible)
+    return _training_seed
 
 
 def init_datasets(config, train_specs, test_specs):
@@ -140,7 +183,8 @@ def init_datasets(config, train_specs, test_specs):
                         len(idx), tag)
         loader = DataLoader(dataset, batch_size=local_batch,
                             shuffle=True, drop_last=True,
-                            num_workers=config.train_data_workers)
+                            num_workers=config.train_data_workers,
+                            seed=training_seed(config))
         train_data[tag] = {'dataset': dataset, 'dataloader': loader}
         logger.info('> Ready to use training dataset: %s (%d videos)',
                     tag, len(dataset))
@@ -315,24 +359,29 @@ def main_loop_iterator(exp, train_data, test_data):
     caller receives finished metrics instead of appending loss terms.
     """
     config = exp.config
-    # One training source, like the reference (its EVE.forward asserts a
-    # single input source, src/models/eve.py:71).
-    assert len(train_data) == 1, (
-        'exactly one training source is supported, got %d'
-        % len(train_data))
+    # The reference fetches one batch from EVERY training source per step
+    # (training.py:240-264); with several sources we train on the summed
+    # loss in one fused step (see step.make_multi_source_train_step). NOTE:
+    # the reference EVE model itself asserts a single source
+    # (src/models/eve.py:71-73) — multi-source is harness capability there
+    # too, never exercised by a shipped config.
     if config.skip_training:
         # Eval-only: still need model state + checkpoint for the final test.
         exp.build_training(1)
         return
 
     tag0, data0 = next(iter(train_data.items()))
+    multi_source = len(train_data) > 1
     local_batch = data0['dataloader'].batch_size  # batch_size/hosts if multi
     max_dataset_len = max(len(d['dataset']) for d in train_data.values())
     steps_per_epoch = int(max_dataset_len / local_batch)
     num_training_steps = int(config.num_epochs * max(steps_per_epoch, 1))
     exp.build_training(max(steps_per_epoch, 1))
+    if multi_source:
+        exp.train_step = step_lib.make_multi_source_train_step(
+            exp.spec, exp.tx, tags=sorted(train_data))
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(training_seed(config))
     iterators = {}
 
     def next_batch(tag, data_dict):
@@ -372,7 +421,13 @@ def main_loop_iterator(exp, train_data, test_data):
             jax.profiler.start_trace(config.profile_dir)
             profiling = True
 
-        device_batch, _ = next_batch(tag0, data0)
+        if multi_source:
+            device_batch = {tag: next_batch(tag, d)[0]
+                            for tag, d in train_data.items()}
+            first_batch = device_batch[tag0]
+        else:
+            device_batch, _ = next_batch(tag0, data0)
+            first_batch = device_batch
 
         rng, sub = jax.random.split(rng)
         exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
@@ -388,7 +443,7 @@ def main_loop_iterator(exp, train_data, test_data):
                 exp.image_step = step_lib.make_eval_step(
                     exp.spec, create_images=True)
             from eve_tpu.train.logging_utils import compose_training_images
-            img_out = exp.image_step(exp.state.params, device_batch)
+            img_out = exp.image_step(exp.state.params, first_batch)
             images = compose_training_images(
                 img_out, screen_size=tuple(config.screen_size))
         yield current_step, metrics, images

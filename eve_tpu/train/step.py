@@ -64,6 +64,51 @@ def make_train_step(spec, tx, donate=True, seq_mesh=None):
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def make_multi_source_train_step(spec, tx, tags, donate=True, seq_mesh=None):
+    """Train step over SEVERAL data sources in one fused computation.
+
+    The reference fetches one batch per training source each step
+    (src/core/training.py:240-264) and accumulates a backward pass per loss
+    term before stepping (src/core/training.py:474-502); with a shared
+    parameter set that equals one step on the SUM of the losses, which is
+    what this computes (single XLA graph, no retain_graph bookkeeping).
+    ``batches`` is a dict {tag: batch}; scalar outputs come back prefixed
+    ``<tag>/`` so multi-source metrics stay distinguishable.
+    """
+    tags = tuple(tags)
+
+    def loss_fn(params, batches, rng):
+        rngs = jax.random.split(rng, len(tags))
+        total = 0.0
+        scalars = {}
+        for tag, r in zip(tags, rngs):
+            out = eve_lib.forward(spec, params, batches[tag], rng=r,
+                                  training=True, seq_mesh=seq_mesh)
+            for k, v in out.items():
+                if hasattr(v, 'ndim') and v.ndim == 0:
+                    scalars['%s/%s' % (tag, k)] = v
+            total = total + out['full_loss']
+        return total, scalars
+
+    def step_fn(state, batches, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, scalars), grads = grad_fn(state.params, batches, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        metrics = dict(scalars)
+        metrics['full_loss'] = loss
+        metrics['nan_flag'] = jnp.any(jnp.stack(
+            [jnp.any(jnp.isnan(v)) for v in scalars.values()]))
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt_state)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
 def make_eval_step(spec, output_predictions=False, create_images=False,
                    seq_mesh=None):
     """Build the jitted eval step: fn(params, batch) -> output dict."""

@@ -185,6 +185,96 @@ def test_pretrained_bootstrap_missing_weights_raises(dataset_root, config,
         exp.build_training(1)
 
 
+def test_multi_source_training(dataset_root, config):
+    """Several training sources: one batch from EACH per step, trained on
+    the summed loss in one fused step (reference training.py:240-264 +
+    474-502 semantics), with per-source metric prefixes."""
+    config.import_dict({'datasrc_eve': dataset_root, 'num_epochs': 1.0})
+    train_specs = [
+        ('srcA', harness.DATASET_CLASSES['train'], dataset_root,
+         ['image'], ['webcam_c']),
+        ('srcB', harness.DATASET_CLASSES['train'], dataset_root,
+         ['image'], ['webcam_c']),
+    ]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    assert len(train_data) == 2
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    seen = []
+    for current_step, metrics, _ in harness.main_loop_iterator(
+            exp, train_data, test_data):
+        seen.append(current_step)
+        assert np.isfinite(float(metrics['full_loss']))
+        assert any(k.startswith('srcA/') for k in metrics), sorted(metrics)
+        assert any(k.startswith('srcB/') for k in metrics), sorted(metrics)
+        # Summed-loss semantics: total == sum of the per-source losses.
+        np.testing.assert_allclose(
+            float(metrics['full_loss']),
+            float(metrics['srcA/full_loss']) +
+            float(metrics['srcB/full_loss']), rtol=1e-5)
+    assert seen, 'no steps ran'
+
+
+def _run_to_completion(dataset_root, cfg):
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(cfg, train_specs, val_specs)
+    exp = harness.Experiment(cfg, output_dir_base='./outputs')
+    for _ in harness.main_loop_iterator(exp, train_data, test_data):
+        pass
+    import jax
+    return jax.tree_util.tree_map(np.asarray, exp.state.params)
+
+
+def test_fully_reproducible_runs_are_bit_identical(dataset_root, config):
+    """fully_reproducible=True pins shuffle order and the kappa stream to
+    seed 0: two complete runs produce bit-identical parameters (the
+    reference gates cudnn determinism on this flag, training.py:106-112;
+    XLA-on-TPU needs no kernel knob, so the flag governs the RNG streams)."""
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'fully_reproducible': True})
+    params1 = _run_to_completion(dataset_root, config)
+
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+    cfg2 = harness.script_init_common(argv=[])
+    cfg2.import_dict(dict(
+        {k: v for k, v in config.get_all_key_values().items()
+         if not isinstance(getattr(DefaultConfig, k, None), property)
+         and hasattr(DefaultConfig, k)}), strict=False)
+    params2 = _run_to_completion(dataset_root, cfg2)
+
+    import jax
+    flat1, _ = jax.tree_util.tree_flatten(params1)
+    flat2, _ = jax.tree_util.tree_flatten(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_training_seed_entropy_when_not_reproducible(config):
+    """With the flag off, each process draws a fresh seed (runs explore
+    different shuffles), and the seed is cached within the process."""
+    config.import_dict({'fully_reproducible': False})
+    harness._training_seed = None
+    s1 = harness.training_seed(config)
+    assert harness.training_seed(config) == s1  # cached
+    harness._training_seed = None
+    s2 = harness.training_seed(config)
+    harness._training_seed = None
+    s3 = harness.training_seed(config)
+    assert len({s1, s2, s3}) > 1  # 2^-64 false-failure probability
+
+    config.import_dict({'fully_reproducible': True})
+    harness._training_seed = None
+    assert harness.training_seed(config) == 0
+    harness._training_seed = None
+
+
 def test_make_grid():
     imgs = np.random.rand(5, 8, 10, 3).astype(np.float32)
     grid = make_grid(imgs, nrow=3, padding=1)
