@@ -10,6 +10,17 @@ run-provenance capture (``combined.json`` + ``src.zip`` of all sources).
 Key names match the reference exactly so that the reference's JSON configs
 (``src/configs/eye_net.json``, ``src/configs/refine_net.json``) run unmodified.
 TPU-specific additions are grouped at the end and prefixed ``tpu_`` / ``jax_``.
+
+Design note (deliberate deviation from SURVEY.md section 7's
+"dataclass/pytree config" sketch): this host-side singleton intentionally
+mirrors the reference's config *machinery*, not just its key schema. The
+config is pure host state — it never enters a jitted computation, so a
+pytree buys nothing — while the singleton + strict-typed-override behavior
+is itself part of the reference's observable CLI/JSON contract (later JSONs
+override earlier ones in place, CLI flags override both, unknown/badly-typed
+keys fail loudly). What DOES cross into XLA is ``EveSpec``
+(eve_tpu/models/eve.py), a frozen dataclass derived from this config — that
+is the pytree-friendly half of the blueprint, kept separate on purpose.
 """
 
 import glob
@@ -181,8 +192,10 @@ class DefaultConfig(object):
 
     # Rematerialize CNN activations in the backward pass (jax.checkpoint):
     # trades one extra forward of FLOPs for much lower activation memory,
-    # enabling larger batch*sequence per chip.
-    tpu_remat = False
+    # enabling larger batch*sequence per chip. Granularity:
+    # 'none' | 'eye' (ResNet features only) | 'refine' (refine encoder
+    # only) | 'all'.
+    tpu_remat = 'none'
 
     # Streaming inference: carry recurrent state across consecutive clips of
     # the input video (inference.py) instead of resetting per clip.

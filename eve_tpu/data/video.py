@@ -145,27 +145,95 @@ class VideoReader:
 
 
 class AsyncVideoReader:
-    """Streaming decode iterator yielding (timestamp, frame) pairs."""
+    """Streaming decode iterator yielding (timestamp, frame) pairs.
 
-    def __init__(self, video_path, output_size=None):
-        self.reader = VideoReader(video_path, output_size=output_size,
-                                  backend='cv2')
+    Mirrors the reference VideoReader's async-iterator mode
+    (src/datasources/common.py:141-172): an ffmpeg raw-RGB24 subprocess
+    pipe consumed one frame at a time — bounded memory for unbounded
+    live-stream videos — with the same ``select=eq(n,i)`` frame picking and
+    ``scale`` filter graph as the sync path, plus a cv2 fallback when no
+    ffmpeg binary exists. Usable as a context manager (the reference's
+    ``__enter__``/``__exit__``); iteration also cleans up on exhaustion.
+    """
+
+    def __init__(self, video_path, output_size=None, frame_indices=None,
+                 backend=None):
+        self.reader = VideoReader(video_path, frame_indices=frame_indices,
+                                  output_size=output_size, backend=backend)
         self.output_size = output_size
+        self.frame_indices = self.reader.frame_indices
+        self._proc = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+
+    def close(self):
+        if self._proc is not None:
+            self._proc.stdout.close()
+            self._proc.wait()
+            self._proc = None
 
     def __iter__(self):
         timestamps = self.reader._load_timestamps()
+        if self.frame_indices is not None:
+            selected_ts = [timestamps[i] for i in self.frame_indices]
+        else:
+            selected_ts = list(timestamps)
+        if self.reader.backend == 'ffmpeg':
+            yield from self._iter_ffmpeg(selected_ts)
+        else:
+            yield from self._iter_cv2(selected_ts)
+
+    def _iter_ffmpeg(self, selected_ts):
+        if self.output_size is not None:
+            width, height = self.output_size
+        else:
+            width, height = self.reader._probe_size()
+        vf = []
+        if self.frame_indices is not None:
+            sel = '+'.join('eq(n,%d)' % i for i in self.frame_indices)
+            vf.append("select='%s'" % sel)
+        if self.output_size is not None:
+            vf.append('scale=%d:%d' % (width, height))
+        cmd = [_FFMPEG, '-vsync', '0', '-i', self.reader.video_path]
+        if vf:
+            cmd += ['-vf', ','.join(vf)]
+        cmd += ['-f', 'rawvideo', '-pix_fmt', 'rgb24',
+                '-loglevel', 'quiet', 'pipe:']
+        frame_bytes = width * height * 3
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+        try:
+            for ts in selected_ts:
+                raw = self._proc.stdout.read(frame_bytes)
+                if len(raw) < frame_bytes:
+                    return
+                yield ts, np.frombuffer(raw, np.uint8).reshape(
+                    height, width, 3)
+        finally:
+            self.close()
+
+    def _iter_cv2(self, selected_ts):
+        assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
+        wanted = (None if self.frame_indices is None
+                  else set(self.frame_indices))
         cap = cv2.VideoCapture(self.reader.video_path)
         index = 0
+        emitted = 0
         try:
-            while True:
+            while emitted < len(selected_ts):
                 ok, frame = cap.read()
-                if not ok or index >= len(timestamps):
+                if not ok:
                     return
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                if self.output_size is not None:
-                    frame = cv2.resize(frame, tuple(self.output_size),
-                                       interpolation=cv2.INTER_LINEAR)
-                yield timestamps[index], frame
+                if wanted is None or index in wanted:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if self.output_size is not None:
+                        frame = cv2.resize(frame, tuple(self.output_size),
+                                           interpolation=cv2.INTER_LINEAR)
+                    yield selected_ts[emitted], frame
+                    emitted += 1
                 index += 1
         finally:
             cap.release()

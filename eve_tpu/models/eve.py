@@ -73,10 +73,20 @@ class EveSpec:
     # Compute
     compute_dtype: str = 'float32'
     use_pallas: bool = False
-    # Rematerialize the CNN feature extractors in the backward pass
-    # (jax.checkpoint): trades ~1 extra forward of FLOPs for not storing
-    # ResNet/refine-encoder activations — enables much larger B*T per chip.
-    remat: bool = False
+    # Rematerialize CNN activations in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for not storing activations —
+    # enables much larger B*T per chip. Granularity: 'none', 'eye' (ResNet
+    # feature extractor only), 'refine' (refine encoder only), 'all'.
+    # Plain bools are accepted for back-compat (False='none', True='all').
+    remat: object = 'none'
+
+    @property
+    def remat_eye(self):
+        return self.remat in (True, 'all', 'eye')
+
+    @property
+    def remat_refine(self):
+        return self.remat in (True, 'all', 'refine')
 
     @classmethod
     def from_config(cls, config):
@@ -119,7 +129,7 @@ class EveSpec:
             loss_coeff_heatmap_mse_final=config.loss_coeff_heatmap_mse_final,
             compute_dtype=config.tpu_compute_dtype,
             use_pallas=config.tpu_use_pallas,
-            remat=getattr(config, 'tpu_remat', False),
+            remat=getattr(config, 'tpu_remat', 'none'),
         )
 
     @property
@@ -394,7 +404,7 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
     def _features(p, h):
         return eye_net.apply(eye_params, p, h, method=EyeNet.features)
 
-    if spec.remat:
+    if spec.remat_eye:
         _features = jax.checkpoint(_features)
     feats = _features(patches, head_pose)
     feats_l = feats[:B * T].reshape(B, T, nf)
@@ -500,7 +510,7 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
         def _encode(x):
             return refine_net.apply(rn_params, x, method=RefineNet.encode)
 
-        if spec.remat:
+        if spec.remat_refine:
             _encode = jax.checkpoint(_encode)
         bottleneck_in, skips = _encode(flat_in)
         bt_shape = bottleneck_in.shape[1:]

@@ -122,6 +122,45 @@ def test_basler_60fps_decimation(tmp_path_factory, config, tmp_path):
         assert abs(got - (5 + 6 * i)) < 6, (t, i, got)
 
 
+def test_async_reader_matches_sync(dataset_root):
+    """AsyncVideoReader must yield exactly the sync reader's frames and
+    timestamps, on every available backend, including frame picking and
+    scaling (reference async-mode semantics, common.py:141-172)."""
+    from eve_tpu.data.video import AsyncVideoReader, _FFMPEG
+    video = os.path.join(dataset_root, 'train01', 'step008_image_test',
+                         'webcam_c_eyes.mp4')
+    backends = ['cv2'] + (['ffmpeg'] if _FFMPEG else [])
+    for backend in backends:
+        for indices, size in ((None, None), ([0, 3, 6, 9], (64, 32))):
+            sync_ts, sync_frames = VideoReader(
+                video, frame_indices=indices, output_size=size,
+                backend=backend).get_frames()
+            with AsyncVideoReader(video, frame_indices=indices,
+                                  output_size=size,
+                                  backend=backend) as rd:
+                got = list(rd)
+            assert len(got) == len(sync_frames), (backend, indices)
+            for (ts, frame), want_ts, want_frame in zip(
+                    got, sync_ts, sync_frames):
+                assert ts == want_ts
+                np.testing.assert_array_equal(frame, want_frame,
+                                              err_msg=str((backend, indices)))
+
+
+def test_async_reader_early_close(dataset_root):
+    """Stopping mid-stream must not leak the ffmpeg subprocess."""
+    from eve_tpu.data.video import AsyncVideoReader, _FFMPEG
+    if not _FFMPEG:
+        pytest.skip('no ffmpeg binary')
+    video = os.path.join(dataset_root, 'train01', 'step008_image_test',
+                         'webcam_c_eyes.mp4')
+    with AsyncVideoReader(video, backend='ffmpeg') as rd:
+        it = iter(rd)
+        next(it)
+        next(it)
+    assert rd._proc is None  # closed by the context manager
+
+
 def test_gaze_patch_encoding_roundtrip():
     """render_gaze_patches must be invertible to ~1px precision: the fixture
     only proves the pixels->gaze learning path if the pixels really do

@@ -169,6 +169,77 @@ def test_sharded_scan_under_jit_and_grad(n_shards):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
 
 
+def test_multi_step_trajectory_parity_2d_mesh(tiny_spec):
+    """TEN training steps on the 2D (data x seq) mesh track the
+    single-device trajectory (params AND per-step metrics), and the EVAL
+    step runs sharded on the same mesh — single-step agreement does not
+    rule out accumulating divergence (donation, optimizer state layout,
+    collective reduction order), so pin the whole trajectory.
+
+    36px eyes: the smallest size where the conv backward is real (below
+    33px instance norm erases the pixel signal and XLA dead-code-eliminates
+    the conv gradients, which would make the gradient all-reduce vacuous).
+    """
+    spec, cfg = tiny_spec
+    tx, _ = optim_lib.build_optimizer(cfg, steps_per_epoch=10)
+    state0 = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(3):
+        b = make_synthetic_batch(rng, batch_size=4, sequence_len=4,
+                                 eyes_size=36, with_screen=False)
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+
+    N = 10
+    step_keys = [jax.random.PRNGKey(100 + i) for i in range(N)]
+
+    single_step = step_lib.make_train_step(spec, tx, donate=False)
+    state = state0
+    single_metrics = []
+    for i in range(N):
+        state, m = single_step(state, batches[i % 3], step_keys[i])
+        single_metrics.append({k: float(v) for k, v in m.items()
+                               if k != 'nan_flag'})
+    single_params = jax.tree_util.tree_map(np.asarray, state.params)
+
+    mesh = mesh_lib.make_mesh_nd({'data': 2, 'seq': 2})
+    sh_state = state0.replace(
+        params=mesh_lib.replicate(mesh, state0.params),
+        opt_state=mesh_lib.replicate(mesh, state0.opt_state))
+    sp_step = step_lib.make_train_step(spec, tx, donate=True, seq_mesh=mesh)
+    for i in range(N):
+        sh_batch = mesh_lib.shard_batch(mesh, batches[i % 3])
+        sh_state, m = sp_step(sh_state, sh_batch, step_keys[i])
+        for k, want in single_metrics[i].items():
+            np.testing.assert_allclose(float(m[k]), want, rtol=5e-3,
+                                       err_msg='step %d %s' % (i, k))
+    sh_params = jax.tree_util.tree_map(np.asarray, sh_state.params)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(single_params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(sh_params))
+    assert len(flat_a) == len(flat_b)
+    for path, a in flat_a:
+        b = flat_b[path]
+        # Per-leaf relative L2: elementwise rtol is hopeless after 10 Adam
+        # steps (float32 reduction-order noise on near-zero grads gets
+        # amplified by the per-element adaptive LR); the trajectory is
+        # identical iff the aggregate deviation stays tiny.
+        rel = float(np.linalg.norm(a - b) /
+                    (np.linalg.norm(a) + 1e-12))
+        assert rel < 2e-3, (jax.tree_util.keystr(path), rel)
+        assert float(np.abs(a - b).max()) < 5e-4, \
+            (jax.tree_util.keystr(path), float(np.abs(a - b).max()))
+
+    # Sharded eval on the SAME mesh/batch layout agrees with single-device.
+    eval_single = step_lib.make_eval_step(spec)
+    eval_sharded = step_lib.make_eval_step(spec, seq_mesh=mesh)
+    out_a = eval_single(single_params, batches[0])
+    out_b = eval_sharded(mesh_lib.replicate(mesh, sh_params),
+                         mesh_lib.shard_batch(mesh, batches[0]))
+    np.testing.assert_allclose(float(out_b['full_loss']),
+                               float(out_a['full_loss']), rtol=5e-3)
+
+
 def test_data_and_sequence_parallel_train_step(tiny_spec):
     """2D (data x seq) mesh train step == single-device step.
 
