@@ -230,6 +230,11 @@ class DefaultConfig(object):
     serve_max_queue = 64
     serve_max_body_mb = 256
     serve_request_timeout_s = 30.0
+    # Serve from a self-contained AOT export (.eve artifact,
+    # export_model.py) instead of model code + checkpoint; fixes one input
+    # signature and the batch size. Empty = build the model from
+    # --resume-from / $EVE_PRETRAINED_DIR as usual.
+    serve_artifact = ''
 
     # Reference-compat switches: replicate reference quirks bit-for-bit
     # (LambdaLR absolute-vs-factor LR mixup; CLSTM bottleneck output discard).

@@ -112,6 +112,15 @@ class ExportedModel:
     def input_signature(self):
         return self._exported.in_avals
 
+    @property
+    def aval_tree(self):
+        """Input avals as the original (args, kwargs) pytree: args[0] is
+        the batch dict of ShapeDtypeStructs, args[1] the states tree for a
+        streaming artifact."""
+        args, _kwargs = jax.tree_util.tree_unflatten(
+            self._exported.in_tree, list(self._exported.in_avals))
+        return args
+
     def __call__(self, batch, states=None):
         if self.streaming:
             assert states is not None, 'streaming artifact needs states'

@@ -90,7 +90,8 @@ class Session:
 class ServingEngine:
     """Micro-batching inference engine over one jitted EVE forward."""
 
-    def __init__(self, spec, params, *, max_batch=8, max_delay_ms=5.0,
+    def __init__(self, spec=None, params=None, *, artifact=None,
+                 max_batch=8, max_delay_ms=5.0,
                  served_outputs=DEFAULT_SERVED_OUTPUTS,
                  max_sessions=1024, max_signatures=8,
                  max_queue=64, request_timeout_s=30.0):
@@ -102,8 +103,35 @@ class ServingEngine:
         a new signature stalls serving for that compile). ``max_queue``
         bounds pending requests (overflow raises EngineOverloadedError
         rather than growing host memory); ``request_timeout_s`` fails
-        requests that waited longer than that in the queue/deferred list."""
+        requests that waited longer than that in the queue/deferred list.
+
+        ``artifact``: serve from a self-contained AOT export
+        (``eve_tpu.export``: a ``.eve`` path, bytes, or ExportedModel)
+        instead of ``spec``/``params`` — no model code, checkpoint, or
+        tracing at serving time. The artifact fixes ONE input signature and
+        the batch size (``max_batch`` is taken from it); sessions require a
+        streaming export. Exactly one of (spec+params) / artifact must be
+        given."""
+        assert (artifact is None) != (spec is None and params is None), (
+            'pass either spec+params or artifact')
         self.spec = spec
+        self._artifact = None
+        if artifact is not None:
+            from eve_tpu.export import ExportedModel, load_exported
+            model = (artifact if isinstance(artifact, ExportedModel)
+                     else load_exported(artifact))
+            self._artifact = model
+            avals = model.aval_tree
+            batch_avals = avals[0]
+            art_batch = next(iter(batch_avals.values())).shape[0]
+            if int(max_batch) != art_batch:
+                logger.warning(
+                    'max_batch=%d overridden to the artifact\'s exported '
+                    'batch size %d', max_batch, art_batch)
+            max_batch = art_batch
+            self._artifact_signature = tuple(sorted(
+                (k, tuple(v.shape[1:]), str(np.dtype(v.dtype)))
+                for k, v in batch_avals.items()))
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.served_outputs = (tuple(served_outputs)
@@ -111,15 +139,25 @@ class ServingEngine:
         self.max_sessions = int(max_sessions)
         self.max_signatures = int(max_signatures)
         self.request_timeout_s = float(request_timeout_s)
-        self._params = jax.device_put(params)
+        self._params = None if self._artifact else jax.device_put(params)
         self._queue: "queue.Queue[_Request]" = queue.Queue(
             maxsize=int(max_queue))
         self._deferred: List[_Request] = []  # owned by the batcher thread
         self._deferred_sessions = set()      # sessions with a deferred chunk
         self._sessions: Dict[str, Session] = {}
         self._sessions_lock = threading.Lock()
-        self._zero_state = jax.tree.map(
-            np.asarray, eve_lib.init_stream_state(spec, 1))
+        if self._artifact is not None:
+            if self._artifact.streaming:
+                # Per-slot zero state from the artifact's own state avals.
+                self._zero_state = jax.tree.map(
+                    lambda a: np.zeros((1,) + tuple(a.shape[1:]),
+                                       np.dtype(a.dtype)),
+                    self._artifact.aval_tree[1])
+            else:
+                self._zero_state = {}
+        else:
+            self._zero_state = jax.tree.map(
+                np.asarray, eve_lib.init_stream_state(spec, 1))
         self._jit_cache = {}
         self.stats = {
             'requests': 0, 'batches': 0, 'batched_slots': 0,
@@ -134,6 +172,10 @@ class ServingEngine:
 
     def open_session(self, session_id=None):
         """Allocate fresh recurrent state; returns the session id."""
+        if self._artifact is not None and not self._artifact.streaming:
+            raise RuntimeError(
+                'sessions need recurrent state, but the serving artifact '
+                'was exported without it; re-export with streaming=True')
         session_id = session_id or uuid.uuid4().hex
         with self._sessions_lock:
             if session_id in self._sessions:
@@ -314,6 +356,23 @@ class ServingEngine:
         return True
 
     def _get_jit(self, signature):
+        if self._artifact is not None:
+            if signature != self._artifact_signature:
+                raise RuntimeError(
+                    'input signature %s does not match the serving '
+                    'artifact\'s exported signature %s (AOT artifacts '
+                    'serve exactly one shape; pad clips client-side or '
+                    're-export)' % (signature, self._artifact_signature))
+            model = self._artifact
+            if model.streaming:
+                def step(_params, batch, states):
+                    return dict(model(batch, states))
+            else:
+                def step(_params, batch, states):
+                    out = dict(model(batch))
+                    out['states'] = states  # pass-through (no sessions)
+                    return out
+            return step
         fn = self._jit_cache.get(signature)
         if fn is None:
             if len(self._jit_cache) >= self.max_signatures:

@@ -38,18 +38,22 @@ def main(argv=None):
     from eve_tpu import infer as infer_lib
     from eve_tpu.serve import ServingEngine, make_http_server
 
-    spec, params = infer_lib.model_setup(config, require_weights=True)
-    engine = ServingEngine(
-        spec, params,
+    common = dict(
         max_batch=config.serve_max_batch,
         max_delay_ms=config.serve_max_delay_ms,
         max_queue=config.serve_max_queue,
         request_timeout_s=config.serve_request_timeout_s)
+    if config.serve_artifact:
+        logger.info('serving from AOT artifact %s', config.serve_artifact)
+        engine = ServingEngine(artifact=config.serve_artifact, **common)
+    else:
+        spec, params = infer_lib.model_setup(config, require_weights=True)
+        engine = ServingEngine(spec, params, **common)
     server = make_http_server(
         engine, host=config.serve_host, port=config.serve_port,
         max_body_bytes=config.serve_max_body_mb * 1024 * 1024)
     logger.info('serving on http://%s:%d (max_batch=%d, max_delay=%.1fms)',
-                *server.server_address, config.serve_max_batch,
+                *server.server_address, engine.max_batch,
                 config.serve_max_delay_ms)
     try:
         server.serve_forever()

@@ -75,6 +75,72 @@ def test_streaming_artifact_carries_state(spec, params):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_serving_engine_from_streaming_artifact(spec, params):
+    """ServingEngine(artifact=...) serves sessions from a streaming AOT
+    export — no model code or checkpoint at serving time — with results
+    equal to the live forward, and rejects foreign signatures."""
+    from eve_tpu.serve import ServingEngine
+
+    T = 4
+    example = _batch(3, B=2, T=T // 2)
+    blob = export_inference(spec, params, example, streaming=True)
+    engine = ServingEngine(artifact=blob, max_delay_ms=10.0)
+    try:
+        assert engine.max_batch == 2  # taken from the artifact
+        full = _batch(4, B=1, T=T)
+        sid = engine.open_session()
+        outs = []
+        for t0 in (0, T // 2):
+            chunk = {k: (v[0, t0:t0 + T // 2]
+                         if v.ndim >= 2 and v.shape[1] == T else v[0])
+                     for k, v in full.items()}
+            outs.append(engine.infer(chunk, session_id=sid, timeout=600))
+        engine.close_session(sid)
+
+        import jax.numpy as jnp
+        ref = eve_lib.forward(spec, params,
+                              {k: jnp.asarray(v) for k, v in full.items()},
+                              training=False, output_predictions=True)
+        streamed = np.concatenate([o['PoG_px_final'] for o in outs], axis=0)
+        np.testing.assert_allclose(streamed,
+                                   np.asarray(ref['PoG_px_final'])[0],
+                                   rtol=1e-4, atol=1e-3)
+
+        # A request with a different T does not match the artifact's one
+        # exported signature and must fail with a clear error.
+        bad = {k: (v[0, :3] if v.ndim >= 2 and v.shape[1] == T else v[0])
+               for k, v in full.items()}
+        with pytest.raises(RuntimeError, match='signature'):
+            engine.infer(bad, timeout=600)
+    finally:
+        engine.stop()
+
+
+def test_serving_engine_from_nonstreaming_artifact(spec, params):
+    """A stateless artifact serves stateless requests; sessions are
+    refused up front (they would silently reset state every chunk)."""
+    from eve_tpu.serve import ServingEngine
+
+    example = _batch(5, B=2, T=3)
+    blob = export_inference(spec, params, example)
+    engine = ServingEngine(artifact=blob, max_delay_ms=10.0)
+    try:
+        with pytest.raises(RuntimeError, match='streaming'):
+            engine.open_session()
+        clip = {k: v[0] for k, v in _batch(6, B=1, T=3).items()}
+        out = engine.infer(clip, timeout=600)
+        import jax.numpy as jnp
+        ref = eve_lib.forward(
+            spec, params,
+            {k: jnp.asarray(v)[None] for k, v in clip.items()},
+            training=False, output_predictions=True)
+        np.testing.assert_allclose(out['PoG_px_final'],
+                                   np.asarray(ref['PoG_px_final'])[0],
+                                   rtol=1e-4, atol=1e-3)
+    finally:
+        engine.stop()
+
+
 def test_rejects_foreign_file(tmp_path):
     path = tmp_path / 'bogus.eve'
     path.write_bytes(b'not an artifact' * 10)
