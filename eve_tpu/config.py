@@ -197,6 +197,21 @@ class DefaultConfig(object):
     # only) | 'all'.
     tpu_remat = 'none'
 
+    # Data echoing: step the optimizer N times per LOADED batch (each step
+    # re-draws the kappa-augmentation stream). When the host input
+    # pipeline is the bottleneck — measured at ~1% of the device compute
+    # ceiling on 1-core hosts (BASELINE.md "Host-pipeline scaling") — this
+    # multiplies device utilization at the cost of sample diversity
+    # (arXiv:1907.05550 reports ~same quality up to small factors).
+    train_batch_echoing = 1
+
+    # Gradient accumulation: split each optimizer step over N sequential
+    # micro-batches (the loader yields batch_size / N clips at a time) so
+    # the EFFECTIVE batch stays batch_size while peak activation memory
+    # drops by ~N. Matches one fused step on the full batch up to
+    # reduction order.
+    gradient_accumulation_steps = 1
+
     # Streaming inference: carry recurrent state across consecutive clips of
     # the input video (inference.py) instead of resetting per clip.
     inference_streaming = False

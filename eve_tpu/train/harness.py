@@ -161,10 +161,16 @@ def init_datasets(config, train_specs, test_specs):
     to the reference (src/train.py:35-41).
     """
     train_data = {}
+    accum = max(int(config.gradient_accumulation_steps), 1)
+    assert config.batch_size % accum == 0, (
+        'batch_size %d must divide by gradient_accumulation_steps %d'
+        % (config.batch_size, accum))
     for tag, dataset_class, path, stimuli, cameras in train_specs:
         dataset = dataset_class(path, config=config, cameras_to_use=cameras,
                                 types_of_stimuli=stimuli)
-        local_batch = config.batch_size
+        # The loader yields micro-batches; every `accum` of them makes one
+        # optimizer update of effective size config.batch_size.
+        local_batch = config.batch_size // accum
         if jax.process_count() > 1:
             # Multi-host: each host loads an equal-size deterministic slice
             # of the clip list (wrap-around remainder) so every host sees
@@ -172,10 +178,10 @@ def init_datasets(config, train_specs, test_specs):
             # lockstep (SURVEY.md section 2.4). The per-host loader yields
             # batch_size / process_count samples; device_put_batch
             # assembles them into the global batch.
-            assert config.batch_size % jax.process_count() == 0, (
-                'batch_size %d must divide by %d hosts'
-                % (config.batch_size, jax.process_count()))
-            local_batch = config.batch_size // jax.process_count()
+            assert local_batch % jax.process_count() == 0, (
+                'batch_size %d must divide by %d hosts x %d accumulation'
+                % (config.batch_size, jax.process_count(), accum))
+            local_batch = local_batch // jax.process_count()
             idx = mesh_lib.local_data_slice(len(dataset))
             dataset.all_subfolders = [dataset.all_subfolders[i] for i in idx]
             logger.info('> Host %d/%d takes %d clips of %s',
@@ -372,11 +378,18 @@ def main_loop_iterator(exp, train_data, test_data):
 
     tag0, data0 = next(iter(train_data.items()))
     multi_source = len(train_data) > 1
-    local_batch = data0['dataloader'].batch_size  # batch_size/hosts if multi
+    local_batch = data0['dataloader'].batch_size  # micro-batch (see init)
+    echo = max(int(config.train_batch_echoing), 1)
+    accum = max(int(config.gradient_accumulation_steps), 1)
     max_dataset_len = max(len(d['dataset']) for d in train_data.values())
     steps_per_epoch = int(max_dataset_len / local_batch)
-    num_training_steps = int(config.num_epochs * max(steps_per_epoch, 1))
-    exp.build_training(max(steps_per_epoch, 1))
+    # Loop steps are MICRO-steps: one loaded batch yields `echo` of them,
+    # and `accum` of them make one optimizer update. The LR schedule's
+    # domain is optimizer updates.
+    num_training_steps = int(config.num_epochs * max(steps_per_epoch, 1)
+                             * echo)
+    updates_per_epoch = max(1, (max(steps_per_epoch, 1) * echo) // accum)
+    exp.build_training(updates_per_epoch)
     if multi_source:
         exp.train_step = step_lib.make_multi_source_train_step(
             exp.spec, exp.tx, tags=sorted(train_data))
@@ -413,21 +426,31 @@ def main_loop_iterator(exp, train_data, test_data):
     # the loop's start so start/stop actually trigger (steps +5 .. +10,
     # past the compile step).
     profile_anchor = exp.last_step
+    echo_cache = None
     for current_step in range(exp.last_step, num_training_steps):
-        current_epoch = (current_step * local_batch) / max_dataset_len
+        current_epoch = ((current_step // echo) * local_batch) \
+            / max_dataset_len
         exp.tensorboard.update_current_step(current_step + 1)
 
         if config.profile_dir and current_step == profile_anchor + 5:
             jax.profiler.start_trace(config.profile_dir)
             profiling = True
 
-        if multi_source:
-            device_batch = {tag: next_batch(tag, d)[0]
-                            for tag, d in train_data.items()}
-            first_batch = device_batch[tag0]
+        # Data echoing: reuse each loaded batch `echo` times (the kappa
+        # augmentation stream still differs per step via `rng`) — a
+        # device-utilization lever when the host pipeline is the
+        # bottleneck (BASELINE.md "Host-pipeline scaling").
+        if echo == 1 or echo_cache is None or current_step % echo == 0:
+            if multi_source:
+                device_batch = {tag: next_batch(tag, d)[0]
+                                for tag, d in train_data.items()}
+                first_batch = device_batch[tag0]
+            else:
+                device_batch, _ = next_batch(tag0, data0)
+                first_batch = device_batch
+            echo_cache = (device_batch, first_batch)
         else:
-            device_batch, _ = next_batch(tag0, data0)
-            first_batch = device_batch
+            device_batch, first_batch = echo_cache
 
         rng, sub = jax.random.split(rng)
         exp.state, metrics = exp.train_step(exp.state, device_batch, sub)

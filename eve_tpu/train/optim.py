@@ -128,4 +128,13 @@ def build_optimizer(config, steps_per_epoch, frozen_eye_net=None):
                     for k in params}
         tx = optax.multi_transform(
             {'train': tx, 'frozen': optax.set_to_zero()}, label_fn)
+
+    accum = int(getattr(config, 'gradient_accumulation_steps', 1))
+    if accum > 1:
+        # Each optimizer update averages the gradients of `accum`
+        # sequential micro-batches (the harness shrinks the loader batch by
+        # the same factor): effective batch = config.batch_size with ~1/N
+        # the activation memory. The inner chain (and thus the LR schedule)
+        # counts real updates, not micro-steps.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule

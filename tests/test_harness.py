@@ -217,6 +217,81 @@ def test_multi_source_training(dataset_root, config):
     assert seen, 'no steps ran'
 
 
+def test_gradient_accumulation_matches_full_batch(config):
+    """N micro-batch updates under optax.MultiSteps == one full-batch step
+    (same effective batch; grads average since the losses are per-batch
+    means over equal valid counts)."""
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.data.synthetic import make_synthetic_batch
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.train import optim as optim_lib
+    from eve_tpu.train import step as step_lib
+
+    config.import_dict({'refine_net_do_offset_augmentation': False})
+    spec = eve_lib.EveSpec.from_config(config)
+    full = make_synthetic_batch(np.random.RandomState(0), batch_size=4,
+                                sequence_len=2, eyes_size=48,
+                                with_screen=False)
+    full_j = {k: jnp.asarray(v) for k, v in full.items()}
+    halves = [{k: jnp.asarray(v[i * 2:(i + 1) * 2]) for k, v in full.items()}
+              for i in range(2)]
+    rng = jax.random.PRNGKey(7)
+
+    config.override('gradient_accumulation_steps', 1)
+    tx1, _ = optim_lib.build_optimizer(config, steps_per_epoch=100)
+    state1 = step_lib.create_train_state(spec, tx1, jax.random.PRNGKey(0))
+    step1 = step_lib.make_train_step(spec, tx1, donate=False)
+    state1, _ = step1(state1, full_j, rng)
+
+    config.override('gradient_accumulation_steps', 2)
+    tx2, _ = optim_lib.build_optimizer(config, steps_per_epoch=100)
+    state2 = step_lib.create_train_state(spec, tx2, jax.random.PRNGKey(0))
+    step2 = step_lib.make_train_step(spec, tx2, donate=False)
+    for half in halves:
+        state2, _ = step2(state2, half, rng)
+
+    a = jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, state1.params))
+    b = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, state2.params)))
+    for path, leaf in a:
+        np.testing.assert_allclose(b[path], leaf, rtol=2e-3, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_data_echoing_steps_per_loaded_batch(dataset_root, config):
+    """train_batch_echoing=N must run N optimizer steps per LOADED batch
+    (device utilization when the host pipeline is the bottleneck)."""
+
+    class CountingLoader:
+        def __init__(self, inner):
+            self.inner = inner
+            self.count = 0
+            self.batch_size = inner.batch_size
+
+        def __iter__(self):
+            for b in self.inner:
+                self.count += 1
+                yield b
+
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'train_batch_echoing': 2, 'num_epochs': 1.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    counter = CountingLoader(train_data['eve_train']['dataloader'])
+    train_data['eve_train']['dataloader'] = counter
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    steps = [s for s, m, _ in harness.main_loop_iterator(
+        exp, train_data, test_data)]
+    assert steps, 'no steps ran'
+    assert len(steps) == 2 * counter.count, (len(steps), counter.count)
+
+
 def _run_to_completion(dataset_root, cfg):
     train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
                     dataset_root, ['image'], ['webcam_c'])]
