@@ -33,6 +33,31 @@ import zipfile
 logger = logging.getLogger(__name__)
 
 
+_REMAT_MODES = ('none', 'eye', 'refine', 'all')
+
+
+def _normalize_remat(value):
+    """Coerce a tpu_remat value to its canonical string form.
+
+    Accepts the round-1 booleans (and their CLI string spellings) and the
+    granularity strings; anything else raises so a typo like 'eyes' cannot
+    silently disable rematerialization.
+    """
+    if isinstance(value, bool):
+        return 'all' if value else 'none'
+    if isinstance(value, str):
+        low = value.lower()
+        if low in ('true', 'yes', 'y', '1'):
+            return 'all'
+        if low in ('false', 'no', 'n', '0'):
+            return 'none'
+        if low in _REMAT_MODES:
+            return low
+    raise ValueError(
+        'Invalid tpu_remat value %r: expected one of %s (or a boolean)'
+        % (value, list(_REMAT_MODES)))
+
+
 class DefaultConfig(object):
     """Singleton configuration object.
 
@@ -314,6 +339,12 @@ class DefaultConfig(object):
                 if strict:
                     if not hasattr(self, key):
                         raise ValueError('Unknown configuration key: ' + key)
+                    if key == 'tpu_remat':
+                        # Was a bool through round 1; old JSONs (incl.
+                        # run-provenance combined.json) and truthy CLI
+                        # spellings must keep working, and typos must fail
+                        # loudly instead of silently meaning 'none'.
+                        value = _normalize_remat(value)
                     if type(getattr(self, key)) is float and type(value) is int:
                         value = float(value)
                     else:

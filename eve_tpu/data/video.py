@@ -158,6 +158,18 @@ class AsyncVideoReader:
 
     def __init__(self, video_path, output_size=None, frame_indices=None,
                  backend=None):
+        if frame_indices is not None:
+            idx = list(frame_indices)
+            # Streaming yields frames in stream order, so a request list
+            # with duplicates or out-of-order indices cannot be honored
+            # (the sync VideoReader supports those; use it instead).
+            # Silently set-collapsing would truncate AND mispair
+            # (timestamp, frame) tuples.
+            if any(b <= a for a, b in zip(idx, idx[1:])):
+                raise ValueError(
+                    'AsyncVideoReader needs strictly increasing '
+                    'frame_indices (got %r); use VideoReader for '
+                    'duplicate/reordered index lists' % (idx,))
         self.reader = VideoReader(video_path, frame_indices=frame_indices,
                                   output_size=output_size, backend=backend)
         self.output_size = output_size

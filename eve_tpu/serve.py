@@ -17,10 +17,12 @@ for deployment. Design:
   ``eve_tpu.models.eve.init_stream_state`` / ``forward(initial_states=...)``,
   so results match processing the whole video as one clip. Chunks of the
   same session are processed strictly in submission order (a chunk whose
-  session already has one in the current batch is deferred to the next),
-  and a failed chunk fails the session's deferred successors too rather
-  than silently skipping frames of recurrent history. Requests without a
-  session get fresh state each time (the reference's per-clip semantics).
+  session already has an earlier chunk in the current batch OR deferred is
+  itself deferred), and a failed or queue-expired chunk marks the session
+  BROKEN: every successor fails until the client closes the session and
+  restarts the stream — never a silently-skipped hole in the recurrent
+  history. Requests without a session get fresh state each time (the
+  reference's per-clip semantics).
 
 The HTTP front-end (``EveHTTPServer``) is a thin stdlib wrapper: numpy
 ``.npz`` request/response bodies, so no extra dependencies.
@@ -144,6 +146,10 @@ class ServingEngine:
             maxsize=int(max_queue))
         self._deferred: List[_Request] = []  # owned by the batcher thread
         self._deferred_sessions = set()      # sessions with a deferred chunk
+        # Sessions with a failed/expired chunk: successors must fail too
+        # (running them would use recurrent state that never saw the lost
+        # chunk). Cleared when the session is closed.
+        self._broken_sessions = set()
         self._sessions: Dict[str, Session] = {}
         self._sessions_lock = threading.Lock()
         if self._artifact is not None:
@@ -192,6 +198,7 @@ class ServingEngine:
     def close_session(self, session_id):
         with self._sessions_lock:
             self._sessions.pop(session_id, None)
+        self._broken_sessions.discard(session_id)
 
     def submit(self, inputs, session_id=None) -> Future:
         """Enqueue one clip (arrays with leading dim T); returns a Future.
@@ -302,6 +309,7 @@ class ServingEngine:
                 # from pre-failure state: fail its deferred successors too.
                 failed = {r.session_id for r in reqs
                           if r.session_id is not None}
+                self._broken_sessions |= failed
                 if failed:
                     keep = []
                     for r in self._deferred:
@@ -328,12 +336,24 @@ class ServingEngine:
         from the batch head's; or (d) the batch is full. Requests older than
         ``request_timeout_s`` fail with EngineOverloadedError instead of
         occupying a slot."""
+        if r.session_id is not None and r.session_id in self._broken_sessions:
+            self.stats['errors'] += 1
+            if not r.future.done():
+                r.future.set_exception(RuntimeError(
+                    'a previous chunk of session %s failed or expired; '
+                    'close the session and restart the stream'
+                    % r.session_id))
+            return False
         if (time.perf_counter() - r.enqueued_at) > self.request_timeout_s:
             self.stats['errors'] += 1
             self.stats['timed_out'] += 1
             if not r.future.done():
                 r.future.set_exception(EngineOverloadedError(
                     'request waited > %.1fs in queue' % self.request_timeout_s))
+            if r.session_id is not None:
+                # The stream now has a hole; successors must not run on
+                # pre-expiry recurrent state.
+                self._broken_sessions.add(r.session_id)
             return False
 
         def defer():

@@ -131,24 +131,22 @@ def training_seed(config):
     process-stable entropy draw (each run trains on a different shuffle /
     augmentation stream). Cached so the loader and the train-loop PRNGKey
     agree within one process. In multi-host runs every host must shuffle
-    identically, so the seed stays host-independent: entropy is drawn only
-    on process 0 semantics via the config hash fallback when distributed.
+    identically, so process 0's draw is broadcast to all hosts (a
+    clock-derived seed would silently diverge for jobs straddling the
+    derivation quantum).
     """
     global _training_seed
     if _training_seed is None:
         if config.fully_reproducible:
             _training_seed = 0
-        elif jax.process_count() > 1:
-            # All hosts need the SAME seed without communication at this
-            # point; derive it from wall-clock at minute resolution (hosts
-            # start within the same scheduling window) xor'd with the config
-            # hash — deterministic across the job, varying across runs.
-            cfg_hash = int(hashlib.md5(
-                config.get_full_json().encode()).hexdigest()[:8], 16)
-            _training_seed = (int(time.time()) // 60) ^ cfg_hash
         else:
             import os as os_lib
-            _training_seed = int.from_bytes(os_lib.urandom(4), 'little')
+            seed = int.from_bytes(os_lib.urandom(4), 'little')
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                seed = int(multihost_utils.broadcast_one_to_all(
+                    jax.numpy.asarray(seed, jax.numpy.uint32)))
+            _training_seed = seed
         logger.info('Training seed: %d (fully_reproducible=%s)',
                     _training_seed, config.fully_reproducible)
     return _training_seed
@@ -264,16 +262,22 @@ class Experiment:
             '%(asctime)s %(levelname)s %(message)s', '%d/%m %H:%M:%S'))
         logging.getLogger().addHandler(_file_handler)
 
-        # Mesh size must divide the global batch so clips shard evenly over
-        # the data axis; fall back to the largest divisor of batch_size.
+        # Mesh size must divide the PER-STEP batch so clips shard evenly
+        # over the data axis; with gradient accumulation each step carries
+        # batch_size / accumulation clips (keying on config.batch_size here
+        # would silently push every training step into device_put_batch's
+        # replicated single-device fallback). Fall back to the largest
+        # divisor.
+        step_batch = config.batch_size // max(
+            int(config.gradient_accumulation_steps), 1)
         n_avail = (config.tpu_num_devices if config.tpu_num_devices > 0
                    else len(jax.devices()))
         n_use = max(d for d in range(1, n_avail + 1)
-                    if config.batch_size % d == 0)
+                    if step_batch % d == 0)
         if n_use != n_avail:
             logger.warning(
-                'batch_size=%d not divisible by %d devices; using a '
-                '%d-device data mesh.', config.batch_size, n_avail, n_use)
+                'per-step batch %d not divisible by %d devices; using a '
+                '%d-device data mesh.', step_batch, n_avail, n_use)
         self.mesh = mesh_lib.make_mesh(n_use)
         self.gsheet_logger = GoogleSheetLogger(config, identifier)
         self.checkpoint_manager = CheckpointManager(

@@ -147,6 +147,17 @@ def test_async_reader_matches_sync(dataset_root):
                                               err_msg=str((backend, indices)))
 
 
+def test_async_reader_rejects_nonmonotonic_indices(dataset_root):
+    """Duplicates / reordered frame_indices cannot stream; a loud error
+    beats silently truncating and mispairing (timestamp, frame)."""
+    from eve_tpu.data.video import AsyncVideoReader
+    video = os.path.join(dataset_root, 'train01', 'step008_image_test',
+                         'webcam_c_eyes.mp4')
+    for bad in ([3, 1, 1], [0, 2, 2], [5, 4]):
+        with pytest.raises(ValueError, match='strictly increasing'):
+            AsyncVideoReader(video, frame_indices=bad)
+
+
 def test_async_reader_early_close(dataset_root):
     """Stopping mid-stream must not leak the ffmpeg subprocess."""
     from eve_tpu.data.video import AsyncVideoReader, _FFMPEG

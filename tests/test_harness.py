@@ -260,6 +260,36 @@ def test_gradient_accumulation_matches_full_batch(config):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_accumulation_mesh_uses_step_batch(dataset_root, config):
+    """With gradient accumulation the data mesh must be sized by the
+    per-step micro-batch, not config.batch_size — otherwise every train
+    step falls into the replicated single-device fallback."""
+    config.import_dict({'datasrc_eve': dataset_root, 'batch_size': 4,
+                        'gradient_accumulation_steps': 2})
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    n_mesh = len(exp.mesh.devices.flatten())
+    assert n_mesh == 2, n_mesh  # largest divisor of the step batch (4/2)
+    # And micro-batches actually shard (not the replicated fallback).
+    import jax.numpy as jnp
+    batch = {'x': jnp.zeros((2, 3))}
+    placed = exp.device_put_batch(batch)
+    assert len(placed['x'].sharding.device_set) == 2
+
+
+def test_remat_value_normalization(config):
+    """Old boolean tpu_remat configs keep working; typos fail loudly."""
+    config.import_dict({'tpu_remat': True})
+    assert config.tpu_remat == 'all'
+    config.import_dict({'tpu_remat': False})
+    assert config.tpu_remat == 'none'
+    config.import_dict({'tpu_remat': 'refine'})
+    assert config.tpu_remat == 'refine'
+    cfg2 = harness.script_init_common(argv=['--tpu-remat', 'True'])
+    assert cfg2.tpu_remat == 'all'
+    with pytest.raises(ValueError, match='tpu_remat'):
+        config.import_dict({'tpu_remat': 'eyes'})
+
+
 def test_data_echoing_steps_per_loaded_batch(dataset_root, config):
     """train_batch_echoing=N must run N optimizer steps per LOADED batch
     (device utilization when the host pipeline is the bottleneck)."""

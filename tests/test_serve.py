@@ -277,7 +277,9 @@ def test_queue_overflow_rejects(spec, params):
 
 def test_request_timeout_in_batcher(spec, params):
     """Requests older than request_timeout_s fail instead of occupying
-    batch slots."""
+    batch slots — and an expired SESSION chunk poisons its successors
+    (running them would use recurrent state that never saw the lost
+    chunk)."""
     import time as time_mod
 
     engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
@@ -287,14 +289,21 @@ def test_request_timeout_in_batcher(spec, params):
     try:
         [clip] = _clips(15, 1)
         engine._stop.clear()
-        fut = engine.submit(clip)
+        sid = engine.open_session()
+        fut = engine.submit(clip, session_id=sid)
         time_mod.sleep(0.4)
+        successor = engine.submit(clip, session_id=sid)  # fresh, unexpired
         # Restart the batcher so it observes the expired request.
         engine._thread = threading.Thread(target=engine._loop, daemon=True)
         engine._thread.start()
         with pytest.raises(EngineOverloadedError, match='waited'):
             fut.result(timeout=60)
         assert engine.stats['timed_out'] == 1
+        with pytest.raises(RuntimeError, match='failed or expired'):
+            successor.result(timeout=60)
+        # Closing and reopening the session clears the poisoned state.
+        engine.close_session(sid)
+        assert sid not in engine._broken_sessions
     finally:
         engine.stop()
 
