@@ -431,6 +431,14 @@ def main_loop_iterator(exp, train_data, test_data):
     # past the compile step).
     profile_anchor = exp.last_step
     echo_cache = None
+    # Pipeline-stall diagnostics: fraction of wall-clock the loop spends
+    # BLOCKED waiting for host data (decode/pack/H2D) vs dispatching steps.
+    # A high data_wait_pct means the host pipeline is the bottleneck —
+    # raise train_data_workers or train_batch_echoing (BASELINE.md
+    # "Host-pipeline scaling").
+    perf_t0 = time.perf_counter()
+    perf_steps = 0
+    perf_wait = 0.0
     for current_step in range(exp.last_step, num_training_steps):
         current_epoch = ((current_step // echo) * local_batch) \
             / max_dataset_len
@@ -445,6 +453,7 @@ def main_loop_iterator(exp, train_data, test_data):
         # device-utilization lever when the host pipeline is the
         # bottleneck (BASELINE.md "Host-pipeline scaling").
         if echo == 1 or echo_cache is None or current_step % echo == 0:
+            wait_start = time.perf_counter()
             if multi_source:
                 device_batch = {tag: next_batch(tag, d)[0]
                                 for tag, d in train_data.items()}
@@ -452,6 +461,7 @@ def main_loop_iterator(exp, train_data, test_data):
             else:
                 device_batch, _ = next_batch(tag0, data0)
                 first_batch = device_batch
+            perf_wait += time.perf_counter() - wait_start
             echo_cache = (device_batch, first_batch)
         else:
             device_batch, first_batch = echo_cache
@@ -481,12 +491,22 @@ def main_loop_iterator(exp, train_data, test_data):
         log_console = step_modulo(current_step, config.log_every_n_steps)
         log_scalars = step_modulo(current_step,
                                   config.tensorboard_scalars_every_n_steps)
+        perf_steps += 1
         if log_console or log_scalars:
             host_metrics = {k: float(v) for k, v in metrics.items()
                             if k != 'nan_flag'}
+            # Interval-level pipeline stats (metric fetch above synced the
+            # device, so the wall-clock window is honest).
+            dt = time.perf_counter() - perf_t0
+            steps_per_sec = perf_steps / max(dt, 1e-9)
+            data_wait_pct = 100.0 * perf_wait / max(dt, 1e-9)
+            perf_t0 = time.perf_counter()
+            perf_steps = 0
+            perf_wait = 0.0
         if log_console:
-            logger.info('Step %d, Epoch %.2f> %s', current_step + 1,
-                        current_epoch,
+            logger.info('Step %d, Epoch %.2f [%.2f steps/s, '
+                        '%.0f%% data-wait]> %s', current_step + 1,
+                        current_epoch, steps_per_sec, data_wait_pct,
                         ', '.join('%s: %.4g' % (k, host_metrics[k])
                                   for k in sorted(host_metrics)))
         if log_scalars:
@@ -500,6 +520,8 @@ def main_loop_iterator(exp, train_data, test_data):
                 else:
                     exp.tensorboard.add_scalar('train/%s' % key, metric)
             exp.tensorboard.add_scalar('lr/epoch', current_epoch)
+            exp.tensorboard.add_scalar('perf/steps_per_sec', steps_per_sec)
+            exp.tensorboard.add_scalar('perf/data_wait_pct', data_wait_pct)
         if step_modulo(current_step,
                        config.tensorboard_learning_rate_every_n_steps):
             exp.tensorboard.add_scalar(

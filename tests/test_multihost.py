@@ -49,6 +49,15 @@ global_batch = jax.make_array_from_process_local_data(
 total = float(jax.jit(jnp.sum)(global_batch))
 print('SUM %d %.1f' % (pid, total))
 print('PRIMARY %d %d' % (pid, int(mesh_lib.is_primary_process())))
+
+# Non-reproducible training seed: every host must end up with process 0's
+# entropy draw (broadcast), never its own.
+from eve_tpu.config import DefaultConfig
+from eve_tpu.train import harness
+cfg = DefaultConfig()
+cfg.import_dict({'fully_reproducible': False})
+harness._training_seed = None
+print('SEED %d %d' % (pid, harness.training_seed(cfg)))
 """
 
 
@@ -95,3 +104,7 @@ def test_two_process_distributed_cpu(tmp_path):
     # Exactly one primary writer.
     assert field(0, 'PRIMARY') == '1'
     assert field(1, 'PRIMARY') == '0'
+
+    # Broadcast training seed: identical on every host (both hosts draw
+    # independent entropy; process 0's must win everywhere).
+    assert field(0, 'SEED') == field(1, 'SEED')
