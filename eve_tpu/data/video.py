@@ -7,10 +7,23 @@ with two backends:
 
 * ``ffmpeg``: a raw-RGB24 subprocess pipe (used when the binary exists) —
   identical filter graph to the reference.
-* ``cv2``: OpenCV ``VideoCapture`` sequential decode with exact frame-index
-  picking (used when no ffmpeg binary is available, as in CI). Resize uses
+* ``cv2``: OpenCV ``VideoCapture`` decode with exact frame-index picking
+  (used when no ffmpeg binary is available, as in CI). Resize uses
   bilinear interpolation (ffmpeg's default scaler is bicubic — a documented,
   sub-LSB-level train-time difference).
+
+Random-access windows use ``CAP_PROP_POS_FRAMES`` fast seek to the first
+wanted frame plus ``grab()`` (decode-only, no colour convert/copy) across
+gaps — measured frame-exact on this OpenCV/FFMPEG build (tests
+pin it with compression-robust frame fingerprints) and worth ~20x on
+late windows versus the previous decode-from-frame-0 scan, which made a
+training pass over a video's W windows cost O(W^2) total decode (the
+reference's per-window ``select=eq(n,i)`` pipe has the same O(W^2)
+behavior, src/datasources/common.py:50-120). Frame-number seek maps
+index -> time via the container fps, which is only exact for
+constant-frame-rate videos (all EVE releases are CFR re-encodes; the true
+capture times live in the sibling timestamps.txt). For VFR inputs set
+``EVE_VIDEO_SEEK=0`` to force the sequential scan.
 
 Timestamps come from the sibling ``*.timestamps.txt`` files with the same
 suffix-mapping rules as the reference.
@@ -29,6 +42,10 @@ except ImportError:  # pragma: no cover
 
 _FFMPEG = shutil.which('ffmpeg')
 _FFPROBE = shutil.which('ffprobe')
+
+
+def _seek_enabled():
+    return os.environ.get('EVE_VIDEO_SEEK', '1') not in ('0', 'off', 'no')
 
 
 def timestamps_path_for(video_path):
@@ -78,27 +95,44 @@ class VideoReader:
 
     def _decode_cv2(self):
         assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
+        if self.frame_indices is not None and len(self.frame_indices) == 0:
+            return np.zeros((0, 0, 0, 3), np.uint8)
         cap = cv2.VideoCapture(self.video_path)
         assert cap.isOpened(), self.video_path
         wanted = (None if self.frame_indices is None
                   else set(self.frame_indices))
-        last_wanted = max(self.frame_indices) if wanted else None
         frames_by_index = {}
         sequential = []
         index = 0
+        if wanted is not None:
+            first_wanted = min(wanted)
+            last_wanted = max(wanted)
+            if first_wanted > 0 and _seek_enabled():
+                if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
+                    index = first_wanted
+        else:
+            last_wanted = None
         while True:
+            if wanted is not None and index not in wanted:
+                # Decode-only skip: no BGR->RGB convert, no frame copy.
+                ok = cap.grab()
+                if not ok:
+                    break
+                index += 1
+                if index > last_wanted:
+                    break
+                continue
             ok, frame = cap.read()
             if not ok:
                 break
-            if wanted is None or index in wanted:
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                if self.output_size is not None:
-                    frame = cv2.resize(frame, tuple(self.output_size),
-                                       interpolation=cv2.INTER_LINEAR)
-                if wanted is None:
-                    sequential.append(frame)
-                else:
-                    frames_by_index[index] = frame
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if self.output_size is not None:
+                frame = cv2.resize(frame, tuple(self.output_size),
+                                   interpolation=cv2.INTER_LINEAR)
+            if wanted is None:
+                sequential.append(frame)
+            else:
+                frames_by_index[index] = frame
             index += 1
             if last_wanted is not None and index > last_wanted:
                 break
@@ -107,8 +141,9 @@ class VideoReader:
             return np.stack(sequential) if sequential else \
                 np.zeros((0, 0, 0, 3), np.uint8)
         # Frame order follows the requested index list (duplicates allowed).
-        return np.stack([frames_by_index[i] for i in self.frame_indices
-                         if i in frames_by_index])
+        got = [frames_by_index[i] for i in self.frame_indices
+               if i in frames_by_index]
+        return np.stack(got) if got else np.zeros((0, 0, 0, 3), np.uint8)
 
     # -- ffmpeg backend ------------------------------------------------
 
@@ -234,18 +269,26 @@ class AsyncVideoReader:
         cap = cv2.VideoCapture(self.reader.video_path)
         index = 0
         emitted = 0
+        if wanted and min(wanted) > 0 and _seek_enabled():
+            first_wanted = min(wanted)
+            if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
+                index = first_wanted
         try:
             while emitted < len(selected_ts):
+                if wanted is not None and index not in wanted:
+                    if not cap.grab():
+                        return
+                    index += 1
+                    continue
                 ok, frame = cap.read()
                 if not ok:
                     return
-                if wanted is None or index in wanted:
-                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    if self.output_size is not None:
-                        frame = cv2.resize(frame, tuple(self.output_size),
-                                           interpolation=cv2.INTER_LINEAR)
-                    yield selected_ts[emitted], frame
-                    emitted += 1
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if self.output_size is not None:
+                    frame = cv2.resize(frame, tuple(self.output_size),
+                                       interpolation=cv2.INTER_LINEAR)
+                yield selected_ts[emitted], frame
+                emitted += 1
                 index += 1
         finally:
             cap.release()

@@ -412,3 +412,104 @@ def test_final_test_tolerates_truncated_video(dataset_root, config,
             saw_truncated = True
             assert item['left_eye_patch'][-1].max() == 0.0
     assert saw_truncated, 'truncation never bit; the test would be vacuous'
+
+
+# -- fast-seek frame exactness -----------------------------------------
+
+
+@pytest.fixture(scope='module')
+def fingerprint_video(tmp_path_factory):
+    """A 200-frame mp4 whose frames carry a compression-robust binary
+    fingerprint (large black/white blocks encoding the frame index), plus
+    a matching timestamps file. Small per-pixel index encodings are
+    destroyed by mp4v quantization — measured on this host — so exactness
+    tests MUST use block fingerprints."""
+    import cv2
+
+    root = tmp_path_factory.mktemp('seek')
+    path = str(root / 'cam.mp4')
+    w, h, bits, n = 128, 72, 8, 200
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'),
+                             30.0, (w, h))
+    for i in range(n):
+        frame = np.zeros((h, w, 3), np.uint8)
+        for b in range(bits):
+            if (i >> b) & 1:
+                frame[:36, b * 16:(b + 1) * 16, :] = 255
+        writer.write(frame)
+    writer.release()
+    # Claim 300 frames in the timestamps file while the video has 200:
+    # mimics a truncated video (the dataset's tolerance path) so tests can
+    # request label-valid indices beyond the decodable range.
+    np.savetxt(str(root / 'cam.timestamps.txt'),
+               (np.arange(n + 100, dtype=np.int64) + 1) * 33_000_000,
+               fmt='%d')
+    return path
+
+
+def _fingerprint(frame, bits=8):
+    value = 0
+    for b in range(bits):
+        if frame[18, b * 16 + 8, 0] > 127:
+            value |= 1 << b
+    return value
+
+
+def test_cv2_seek_is_frame_exact(fingerprint_video, monkeypatch):
+    """Fast-seek decode returns byte-identical frames to the sequential
+    scan, and the frames are the absolutely-correct indices (fingerprint
+    check), including mid-GOP and late-window positions."""
+    for indices in ([150, 153, 156, 159], [1], [37, 38, 39],
+                    [0, 100, 199], [199]):
+        monkeypatch.setenv('EVE_VIDEO_SEEK', '0')
+        ts_scan, frames_scan = VideoReader(
+            fingerprint_video, frame_indices=indices).get_frames()
+        monkeypatch.setenv('EVE_VIDEO_SEEK', '1')
+        ts_seek, frames_seek = VideoReader(
+            fingerprint_video, frame_indices=indices).get_frames()
+        np.testing.assert_array_equal(ts_scan, ts_seek)
+        np.testing.assert_array_equal(frames_scan, frames_seek)
+        for j, i in enumerate(indices):
+            assert _fingerprint(frames_seek[j]) == i, (indices, i)
+
+
+def test_cv2_seek_duplicate_and_reordered_indices(fingerprint_video,
+                                                  monkeypatch):
+    monkeypatch.setenv('EVE_VIDEO_SEEK', '1')
+    indices = [120, 110, 120, 115]
+    _, frames = VideoReader(
+        fingerprint_video, frame_indices=indices).get_frames()
+    assert [_fingerprint(f) for f in frames] == indices
+
+
+def test_cv2_seek_beyond_eof_returns_empty(fingerprint_video, monkeypatch):
+    """Indices within the timestamps file but beyond the decodable video
+    (truncated file) return zero frames — the dataset's padding path then
+    zeroes validity — rather than raising or returning wrong frames."""
+    monkeypatch.setenv('EVE_VIDEO_SEEK', '1')
+    ts, frames = VideoReader(
+        fingerprint_video, frame_indices=[250, 260]).get_frames()
+    assert frames.shape[0] == 0
+
+
+def test_empty_index_list_returns_empty(fingerprint_video):
+    ts, frames = VideoReader(
+        fingerprint_video, frame_indices=[]).get_frames()
+    assert frames.shape[0] == 0 and ts.shape[0] == 0
+
+
+def test_async_cv2_seek_matches_sync(fingerprint_video, monkeypatch):
+    from eve_tpu.data.video import AsyncVideoReader
+
+    monkeypatch.setenv('EVE_VIDEO_SEEK', '1')
+    indices = [140, 145, 150]
+    sync_ts, sync_frames = VideoReader(
+        fingerprint_video, frame_indices=indices).get_frames()
+    with AsyncVideoReader(fingerprint_video, frame_indices=indices,
+                          backend='cv2') as reader:
+        pairs = list(reader)
+    assert len(pairs) == len(indices)
+    for j, (ts, frame) in enumerate(pairs):
+        assert ts == sync_ts[j]
+        np.testing.assert_array_equal(frame, sync_frames[j])
+        assert _fingerprint(frame) == indices[j]
