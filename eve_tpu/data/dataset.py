@@ -90,6 +90,13 @@ class EVESequencesBase:
         # equivalent cache was per-worker-process, eve_sequences.py:259).
         self.full_video_cache = collections.OrderedDict()
         self._full_video_cache_lock = threading.Lock()
+        # Per-video label cache: every window of a video re-read the same
+        # h5 groups through a fresh h5py.File, which profiled at ~70% of
+        # item cost once video decode got fast-seek. Cache the full-length
+        # arrays once per (path, source) and slice per window; labels are
+        # small (a few MB per video) so a 64-entry LRU is bounded.
+        self._label_cache = collections.OrderedDict()
+        self._label_cache_lock = threading.Lock()
 
         segmentations = load_or_build_cache(
             dataset_path, config.assumed_frame_rate, config.max_sequence_len,
@@ -120,23 +127,46 @@ class EVESequencesBase:
         raise ValueError('Unknown camera frame type: %s'
                          % cfg.camera_frame_type)
 
+    def _load_labels_full(self, path, source):
+        """Read ALL label arrays of one h5 file once; (groups, scalars)."""
+        cache_key = (path, source)
+        with self._label_cache_lock:
+            cached = self._label_cache.get(cache_key)
+            if cached is not None:
+                self._label_cache.move_to_end(cache_key)
+                return cached
+        assert h5py is not None
+        groups, scalars = {}, {}
+        with h5py.File(os.path.join(path, source + '.h5'), 'r') as hdf:
+            for k1, v1 in hdf.items():
+                if isinstance(v1, h5py.Group):
+                    groups[k1] = np.asarray(v1['data'])
+                    groups[k1 + '_validity'] = np.asarray(v1['validity'])
+                else:
+                    scalars[k1] = np.asarray(v1)
+        loaded = (groups, scalars)
+        with self._label_cache_lock:
+            self._label_cache[cache_key] = loaded
+            while len(self._label_cache) > 64:
+                self._label_cache.popitem(last=False)
+        return loaded
+
     def load_all_from_source(self, path, source, selected_indices):
         cfg = self.config
         subentry = {}
 
         if source != 'screen':
-            assert h5py is not None
-            with h5py.File(os.path.join(path, source + '.h5'), 'r') as hdf:
-                for k1, v1 in hdf.items():
-                    if isinstance(v1, h5py.Group):
-                        subentry[k1] = np.copy(v1['data'][selected_indices])
-                        subentry[k1 + '_validity'] = np.copy(
-                            v1['validity'][selected_indices])
-                    else:
-                        shape = v1.shape
-                        subentry[k1] = np.repeat(
-                            np.reshape(np.asarray(v1), (1, *shape)),
-                            repeats=cfg.max_sequence_len, axis=0)
+            groups, scalars = self._load_labels_full(path, source)
+            index = np.asarray(selected_indices)
+            for k1, full in groups.items():
+                # numpy fancy indexing (unlike h5py's) also admits
+                # duplicate/unsorted index lists — a superset of the
+                # previous per-window h5py reads.
+                subentry[k1] = np.copy(full[index])
+            for k1, value in scalars.items():
+                subentry[k1] = np.repeat(
+                    np.reshape(value, (1, *value.shape)),
+                    repeats=cfg.max_sequence_len, axis=0)
             if 'head_rvec' in subentry:
                 subentry['head_R'] = np.stack([
                     rodrigues_np(rvec) for rvec in subentry['head_rvec']])

@@ -19,11 +19,16 @@ pin it with compression-robust frame fingerprints) and worth ~20x on
 late windows versus the previous decode-from-frame-0 scan, which made a
 training pass over a video's W windows cost O(W^2) total decode (the
 reference's per-window ``select=eq(n,i)`` pipe has the same O(W^2)
-behavior, src/datasources/common.py:50-120). Frame-number seek maps
-index -> time via the container fps, which is only exact for
+behavior, src/datasources/common.py:50-120). The ffmpeg backend gets the
+same treatment via frame-accurate input seeking (``-ss`` before ``-i``
+targeting the midpoint between frames first-1 and first, with the
+``select`` indices rebased — see ``ffmpeg_pipe_cmd``), gated on an
+ffprobe CFR check (``avg_frame_rate == r_frame_rate``). Frame-number
+seek maps index -> time via the container fps, which is only exact for
 constant-frame-rate videos (all EVE releases are CFR re-encodes; the true
-capture times live in the sibling timestamps.txt). For VFR inputs set
-``EVE_VIDEO_SEEK=0`` to force the sequential scan.
+capture times live in the sibling timestamps.txt). For VFR inputs the
+ffmpeg path refuses to seek on its own; ``EVE_VIDEO_SEEK=0`` forces the
+sequential scan on both backends.
 
 Timestamps come from the sibling ``*.timestamps.txt`` files with the same
 suffix-mapping rules as the reference.
@@ -32,6 +37,7 @@ suffix-mapping rules as the reference.
 import os
 import shutil
 import subprocess
+import threading
 
 import numpy as np
 
@@ -46,6 +52,103 @@ _FFPROBE = shutil.which('ffprobe')
 
 def _seek_enabled():
     return os.environ.get('EVE_VIDEO_SEEK', '1') not in ('0', 'off', 'no')
+
+
+# np.loadtxt of the timestamps file profiled at ~5% of windowed-item cost
+# (every window re-parsed the same text file). Bounded mtime-keyed cache;
+# guarded because loader workers are threads.
+_TS_CACHE = {}
+_TS_CACHE_LOCK = threading.Lock()
+_TS_CACHE_MAX = 256
+
+
+def _probe_cfr_fps(video_path):
+    """ffprobe the stream's frame rate; a float only for CFR streams.
+
+    Returns None (no seek) when ffprobe is unavailable, the rate is
+    malformed, or ``avg_frame_rate`` disagrees with ``r_frame_rate`` —
+    the standard container signature of a variable-frame-rate stream,
+    where frame-number -> time conversion (and hence input seeking) is
+    not exact.
+    """
+    if not _FFPROBE:
+        return None
+    try:
+        out = subprocess.check_output([
+            _FFPROBE, '-v', 'quiet', '-select_streams', 'v:0',
+            '-show_entries', 'stream=avg_frame_rate,r_frame_rate',
+            '-of', 'csv=p=0', video_path]).decode().strip()
+    except (subprocess.CalledProcessError, OSError):
+        return None
+    parts = out.replace('\n', ',').split(',')
+    rates = []
+    for token in parts[:2]:
+        try:
+            num, _, den = token.partition('/')
+            den = den or '1'
+            if float(den) == 0:
+                return None
+            rates.append(float(num) / float(den))
+        except ValueError:
+            return None
+    if len(rates) != 2 or rates[0] <= 0 or \
+            abs(rates[0] - rates[1]) > 1e-6:
+        return None
+    return rates[0]
+
+
+def ffmpeg_pipe_cmd(video_path, frame_indices, output_size, fps,
+                    seek=True):
+    """Build the ffmpeg raw-RGB24 pipe command, with optional fast seek.
+
+    Pure function (unit-tested directly; no ffmpeg binary exists on the CI
+    host). When ``seek`` is on, ``fps`` is known (CFR, see
+    ``_probe_cfr_fps``) and the first wanted frame is late enough to pay
+    for a seek, an input-side ``-ss`` is placed BEFORE ``-i``: ffmpeg
+    seeks to the keyframe at-or-before the target and decode-discards up
+    to it exactly (frame-accurate input seeking, ffmpeg >= 2.1). The seek
+    target is the MIDPOINT between frames ``first-1`` and ``first`` so
+    sub-millisecond pts jitter cannot skip the target frame, and the
+    ``select=eq(n,i)`` indices are rebased by ``first`` because output
+    frame numbering restarts at the seek point.
+    """
+    pre_input = []
+    rebase = 0
+    if frame_indices and seek and fps:
+        first = min(frame_indices)
+        # A seek that skips <2s of decode is within ffmpeg startup noise.
+        if first / fps > 2.0:
+            pre_input = ['-ss', '%.6f' % ((first - 0.5) / fps)]
+            rebase = first
+    vf = []
+    if frame_indices is not None:
+        sel = '+'.join('eq(n,%d)' % (i - rebase) for i in frame_indices)
+        vf.append("select='%s'" % sel)
+    if output_size is not None:
+        vf.append('scale=%d:%d' % (output_size[0], output_size[1]))
+    cmd = [_FFMPEG, '-vsync', '0'] + pre_input + ['-i', video_path]
+    if vf:
+        cmd += ['-vf', ','.join(vf)]
+    cmd += ['-f', 'rawvideo', '-pix_fmt', 'rgb24',
+            '-loglevel', 'quiet', 'pipe:']
+    return cmd
+
+
+def _load_timestamps_cached(path):
+    key = (path, os.path.getmtime(path))
+    with _TS_CACHE_LOCK:
+        hit = _TS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ts = np.loadtxt(path).astype(np.int64)
+    if ts.ndim == 0:
+        ts = ts[None]
+    ts.setflags(write=False)
+    with _TS_CACHE_LOCK:
+        if len(_TS_CACHE) >= _TS_CACHE_MAX:
+            _TS_CACHE.clear()
+        _TS_CACHE[key] = ts
+    return ts
 
 
 def timestamps_path_for(video_path):
@@ -75,10 +178,7 @@ class VideoReader:
         assert os.path.isfile(self.timestamps_path), self.timestamps_path
 
     def _load_timestamps(self):
-        ts = np.loadtxt(self.timestamps_path).astype(np.int64)
-        if ts.ndim == 0:
-            ts = ts[None]
-        return ts
+        return _load_timestamps_cached(self.timestamps_path)
 
     def get_frames(self):
         """Returns (timestamps int64 (N,), frames uint8 (N, H, W, 3) RGB)."""
@@ -161,19 +261,18 @@ class VideoReader:
         return size
 
     def _decode_ffmpeg(self):
-        width, height = self._probe_size()
-        vf = []
-        if self.frame_indices is not None:
-            sel = '+'.join('eq(n,%d)' % i for i in self.frame_indices)
-            vf.append("select='%s'" % sel)
+        if self.frame_indices is not None and len(self.frame_indices) == 0:
+            return np.zeros((0, 0, 0, 3), np.uint8)
         if self.output_size is not None:
             width, height = self.output_size
-            vf.append('scale=%d:%d' % (width, height))
-        cmd = [_FFMPEG, '-vsync', '0', '-i', self.video_path]
-        if vf:
-            cmd += ['-vf', ','.join(vf)]
-        cmd += ['-f', 'rawvideo', '-pix_fmt', 'rgb24',
-                '-loglevel', 'quiet', 'pipe:']
+        else:
+            width, height = self._probe_size()
+        fps = (_probe_cfr_fps(self.video_path)
+               if self.frame_indices is not None and _seek_enabled()
+               else None)
+        cmd = ffmpeg_pipe_cmd(self.video_path, self.frame_indices,
+                              self.output_size, fps,
+                              seek=_seek_enabled())
         raw = subprocess.run(cmd, stdout=subprocess.PIPE,
                              check=True).stdout
         return np.frombuffer(raw, np.uint8).reshape(-1, height, width, 3)
@@ -239,17 +338,12 @@ class AsyncVideoReader:
             width, height = self.output_size
         else:
             width, height = self.reader._probe_size()
-        vf = []
-        if self.frame_indices is not None:
-            sel = '+'.join('eq(n,%d)' % i for i in self.frame_indices)
-            vf.append("select='%s'" % sel)
-        if self.output_size is not None:
-            vf.append('scale=%d:%d' % (width, height))
-        cmd = [_FFMPEG, '-vsync', '0', '-i', self.reader.video_path]
-        if vf:
-            cmd += ['-vf', ','.join(vf)]
-        cmd += ['-f', 'rawvideo', '-pix_fmt', 'rgb24',
-                '-loglevel', 'quiet', 'pipe:']
+        fps = (_probe_cfr_fps(self.reader.video_path)
+               if self.frame_indices is not None and _seek_enabled()
+               else None)
+        cmd = ffmpeg_pipe_cmd(self.reader.video_path, self.frame_indices,
+                              self.output_size, fps,
+                              seek=_seek_enabled())
         frame_bytes = width * height * 3
         self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
         try:

@@ -513,3 +513,54 @@ def test_async_cv2_seek_matches_sync(fingerprint_video, monkeypatch):
         assert ts == sync_ts[j]
         np.testing.assert_array_equal(frame, sync_frames[j])
         assert _fingerprint(frame) == indices[j]
+
+
+def test_ffmpeg_pipe_cmd_seek_construction():
+    """The ffmpeg command builder (no binary on this host; the builder is
+    pure) places an input-side -ss strictly before -i, targets the
+    midpoint between frames first-1 and first, and rebases the select
+    indices by the first wanted frame (output frame numbering restarts at
+    the seek point)."""
+    from eve_tpu.data.video import ffmpeg_pipe_cmd
+
+    cmd = ffmpeg_pipe_cmd('v.mp4', [150, 153, 156], (64, 64), fps=30.0)
+    assert cmd.index('-ss') < cmd.index('-i')
+    assert cmd[cmd.index('-ss') + 1] == '%.6f' % (149.5 / 30.0)
+    vf = cmd[cmd.index('-vf') + 1]
+    assert "select='eq(n,0)+eq(n,3)+eq(n,6)'" in vf
+    assert 'scale=64:64' in vf
+
+    # Early windows (seek saves <2s of decode) and seek=False keep the
+    # reference's absolute-index command exactly.
+    for kwargs in ({'fps': 30.0}, {'fps': None}, {'fps': 30.0,
+                                                  'seek': False}):
+        cmd = ffmpeg_pipe_cmd('v.mp4', [3, 6, 9], (64, 64), **kwargs)
+        assert '-ss' not in cmd
+        assert "eq(n,3)+eq(n,6)+eq(n,9)" in cmd[cmd.index('-vf') + 1]
+
+    # Unknown fps (VFR / no ffprobe) must never seek even for late windows.
+    cmd = ffmpeg_pipe_cmd('v.mp4', [150, 153], None, fps=None)
+    assert '-ss' not in cmd
+    assert "eq(n,150)+eq(n,153)" in cmd[cmd.index('-vf') + 1]
+
+
+def test_probe_cfr_fps_parsing(monkeypatch):
+    from eve_tpu.data import video as video_lib
+
+    monkeypatch.setattr(video_lib, '_FFPROBE', '/usr/bin/ffprobe')
+    cases = [
+        ('30/1,30/1', 30.0),          # CFR
+        ('30000/1001,30000/1001', 30000.0 / 1001.0),  # NTSC CFR
+        ('25/1,30/1', None),          # VFR signature: avg != r
+        ('0/0,30/1', None),           # malformed
+        ('garbage', None),
+    ]
+    for raw, expected in cases:
+        monkeypatch.setattr(
+            video_lib.subprocess, 'check_output',
+            lambda *a, raw=raw, **k: (raw + '\n').encode())
+        got = video_lib._probe_cfr_fps('v.mp4')
+        if expected is None:
+            assert got is None, raw
+        else:
+            assert got == pytest.approx(expected), raw
