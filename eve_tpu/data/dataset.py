@@ -161,8 +161,9 @@ class EVESequencesBase:
             for k1, full in groups.items():
                 # numpy fancy indexing (unlike h5py's) also admits
                 # duplicate/unsorted index lists — a superset of the
-                # previous per-window h5py reads.
-                subentry[k1] = np.copy(full[index])
+                # previous per-window h5py reads — and already returns a
+                # fresh array, never a view of the cached one.
+                subentry[k1] = full[index]
             for k1, value in scalars.items():
                 subentry[k1] = np.repeat(
                     np.reshape(value, (1, *value.shape)),

@@ -34,6 +34,7 @@ Timestamps come from the sibling ``*.timestamps.txt`` files with the same
 suffix-mapping rules as the reference.
 """
 
+import collections
 import os
 import shutil
 import subprocess
@@ -50,16 +51,61 @@ _FFMPEG = shutil.which('ffmpeg')
 _FFPROBE = shutil.which('ffprobe')
 
 
+def _seek_mode():
+    """EVE_VIDEO_SEEK: '1'/'on' (default) | '0'/'off' | 'verify'.
+
+    'verify': the first seek-decode of each video is cross-checked
+    against the sequential scan (byte-identical frames) and raises
+    RuntimeError on mismatch — run it over a sample of a new dataset /
+    codec before trusting 'on'. Seek exactness is pinned by tests for
+    this OpenCV build on inter-coded mp4v; H.264 streams with B-frames
+    on other builds are the case 'verify' exists for.
+    """
+    value = os.environ.get('EVE_VIDEO_SEEK', '1').lower()
+    if value in ('0', 'off', 'no'):
+        return 'off'
+    if value == 'verify':
+        return 'verify'
+    return 'on'
+
+
 def _seek_enabled():
-    return os.environ.get('EVE_VIDEO_SEEK', '1') not in ('0', 'off', 'no')
+    return _seek_mode() != 'off'
+
+
+# Videos whose seek-decode matched the sequential scan under 'verify'.
+_VERIFIED_SEEK_PATHS = set()
+_VERIFIED_SEEK_LOCK = threading.Lock()
 
 
 # np.loadtxt of the timestamps file profiled at ~5% of windowed-item cost
-# (every window re-parsed the same text file). Bounded mtime-keyed cache;
-# guarded because loader workers are threads.
-_TS_CACHE = {}
+# (every window re-parsed the same text file), and an ffprobe fps probe
+# would be a per-window process spawn. Both are per-video constants:
+# true LRUs keyed by path with the mtime in the value (a rewritten file
+# replaces its entry instead of leaving a dead one), lock-guarded because
+# loader workers are threads.
+_TS_CACHE = collections.OrderedDict()
 _TS_CACHE_LOCK = threading.Lock()
-_TS_CACHE_MAX = 256
+_TS_CACHE_MAX = 1024
+_FPS_CACHE = collections.OrderedDict()
+_FPS_CACHE_LOCK = threading.Lock()
+
+
+def _lru_get(cache, lock, path, mtime):
+    with lock:
+        hit = cache.get(path)
+        if hit is not None and hit[0] == mtime:
+            cache.move_to_end(path)
+            return hit[1]
+    return None
+
+
+def _lru_put(cache, lock, path, mtime, value, max_entries=_TS_CACHE_MAX):
+    with lock:
+        cache[path] = (mtime, value)
+        cache.move_to_end(path)
+        while len(cache) > max_entries:
+            cache.popitem(last=False)
 
 
 def _probe_cfr_fps(video_path):
@@ -95,6 +141,18 @@ def _probe_cfr_fps(video_path):
             abs(rates[0] - rates[1]) > 1e-6:
         return None
     return rates[0]
+
+
+def _probe_cfr_fps_cached(video_path):
+    mtime = os.path.getmtime(video_path)
+    hit = _lru_get(_FPS_CACHE, _FPS_CACHE_LOCK, video_path, mtime)
+    if hit is not None:
+        return hit[0]
+    fps = _probe_cfr_fps(video_path)
+    # Wrap in a tuple so a cached None ("probed: not CFR") is
+    # distinguishable from a cache miss.
+    _lru_put(_FPS_CACHE, _FPS_CACHE_LOCK, video_path, mtime, (fps,))
+    return fps
 
 
 def ffmpeg_pipe_cmd(video_path, frame_indices, output_size, fps,
@@ -135,19 +193,15 @@ def ffmpeg_pipe_cmd(video_path, frame_indices, output_size, fps,
 
 
 def _load_timestamps_cached(path):
-    key = (path, os.path.getmtime(path))
-    with _TS_CACHE_LOCK:
-        hit = _TS_CACHE.get(key)
+    mtime = os.path.getmtime(path)
+    hit = _lru_get(_TS_CACHE, _TS_CACHE_LOCK, path, mtime)
     if hit is not None:
         return hit
     ts = np.loadtxt(path).astype(np.int64)
     if ts.ndim == 0:
         ts = ts[None]
     ts.setflags(write=False)
-    with _TS_CACHE_LOCK:
-        if len(_TS_CACHE) >= _TS_CACHE_MAX:
-            _TS_CACHE.clear()
-        _TS_CACHE[key] = ts
+    _lru_put(_TS_CACHE, _TS_CACHE_LOCK, path, mtime, ts)
     return ts
 
 
@@ -188,12 +242,38 @@ class VideoReader:
         if self.backend == 'ffmpeg':
             frames = self._decode_ffmpeg()
         else:
-            frames = self._decode_cv2()
+            frames = self._decode_cv2_checked()
         return timestamps, frames
 
     # -- cv2 backend --------------------------------------------------
 
-    def _decode_cv2(self):
+    def _decode_cv2_checked(self):
+        """Dispatch on the EVE_VIDEO_SEEK mode (see ``_seek_mode``)."""
+        mode = _seek_mode()
+        if mode == 'off':
+            return self._decode_cv2(use_seek=False)
+        if mode == 'verify' and self.frame_indices and \
+                min(self.frame_indices) > 0:
+            with _VERIFIED_SEEK_LOCK:
+                verified = self.video_path in _VERIFIED_SEEK_PATHS
+            if not verified:
+                seeked = self._decode_cv2(use_seek=True)
+                scanned = self._decode_cv2(use_seek=False)
+                if seeked.shape != scanned.shape or \
+                        not np.array_equal(seeked, scanned):
+                    raise RuntimeError(
+                        'EVE_VIDEO_SEEK=verify: seek-decode of %s does not '
+                        'match the sequential scan — this codec/OpenCV '
+                        'build has non-exact frame seeking; run with '
+                        'EVE_VIDEO_SEEK=0' % self.video_path)
+                with _VERIFIED_SEEK_LOCK:
+                    if len(_VERIFIED_SEEK_PATHS) > 4096:
+                        _VERIFIED_SEEK_PATHS.clear()
+                    _VERIFIED_SEEK_PATHS.add(self.video_path)
+                return seeked
+        return self._decode_cv2(use_seek=True)
+
+    def _decode_cv2(self, use_seek=True):
         assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
         if self.frame_indices is not None and len(self.frame_indices) == 0:
             return np.zeros((0, 0, 0, 3), np.uint8)
@@ -207,7 +287,7 @@ class VideoReader:
         if wanted is not None:
             first_wanted = min(wanted)
             last_wanted = max(wanted)
-            if first_wanted > 0 and _seek_enabled():
+            if first_wanted > 0 and use_seek:
                 if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
                     index = first_wanted
         else:
@@ -267,9 +347,9 @@ class VideoReader:
             width, height = self.output_size
         else:
             width, height = self._probe_size()
-        fps = (_probe_cfr_fps(self.video_path)
-               if self.frame_indices is not None and _seek_enabled()
-               else None)
+        fps = (_probe_cfr_fps_cached(self.video_path)
+               if self.frame_indices and min(self.frame_indices) > 0
+               and _seek_enabled() else None)
         cmd = ffmpeg_pipe_cmd(self.video_path, self.frame_indices,
                               self.output_size, fps,
                               seek=_seek_enabled())
@@ -338,9 +418,9 @@ class AsyncVideoReader:
             width, height = self.output_size
         else:
             width, height = self.reader._probe_size()
-        fps = (_probe_cfr_fps(self.reader.video_path)
-               if self.frame_indices is not None and _seek_enabled()
-               else None)
+        fps = (_probe_cfr_fps_cached(self.reader.video_path)
+               if self.frame_indices and min(self.frame_indices) > 0
+               and _seek_enabled() else None)
         cmd = ffmpeg_pipe_cmd(self.reader.video_path, self.frame_indices,
                               self.output_size, fps,
                               seek=_seek_enabled())
@@ -363,7 +443,15 @@ class AsyncVideoReader:
         cap = cv2.VideoCapture(self.reader.video_path)
         index = 0
         emitted = 0
-        if wanted and min(wanted) > 0 and _seek_enabled():
+        mode = _seek_mode()
+        if mode == 'verify':
+            # The streaming iterator cannot cross-check itself; seek only
+            # for videos the sync reader already verified, else scan.
+            with _VERIFIED_SEEK_LOCK:
+                seek_ok = self.reader.video_path in _VERIFIED_SEEK_PATHS
+        else:
+            seek_ok = mode == 'on'
+        if wanted and min(wanted) > 0 and seek_ok:
             first_wanted = min(wanted)
             if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
                 index = first_wanted

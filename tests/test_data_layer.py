@@ -564,3 +564,60 @@ def test_probe_cfr_fps_parsing(monkeypatch):
             assert got is None, raw
         else:
             assert got == pytest.approx(expected), raw
+
+
+def test_cv2_seek_straddling_eof(fingerprint_video, monkeypatch):
+    """An index list partly beyond the decodable range of a truncated
+    video returns the in-range prefix (the dataset's alignment then
+    zeroes validity for the tail) — sync and async paths."""
+    from eve_tpu.data.video import AsyncVideoReader
+
+    monkeypatch.setenv('EVE_VIDEO_SEEK', '1')
+    indices = [190, 195, 250]
+    ts, frames = VideoReader(
+        fingerprint_video, frame_indices=indices).get_frames()
+    assert ts.shape[0] == 3  # timestamps file claims 300 frames
+    assert frames.shape[0] == 2
+    assert [_fingerprint(f) for f in frames] == [190, 195]
+
+    with AsyncVideoReader(fingerprint_video, frame_indices=indices,
+                          backend='cv2') as reader:
+        pairs = list(reader)
+    assert len(pairs) == 2
+    assert [_fingerprint(f) for _, f in pairs] == [190, 195]
+
+
+def test_seek_verify_mode(fingerprint_video, monkeypatch):
+    """EVE_VIDEO_SEEK=verify cross-checks the first seek-decode of each
+    video against the sequential scan, then trusts seeks for that video;
+    a divergent seek-decode raises instead of returning wrong frames."""
+    from eve_tpu.data import video as video_lib
+
+    monkeypatch.setenv('EVE_VIDEO_SEEK', 'verify')
+    with video_lib._VERIFIED_SEEK_LOCK:
+        video_lib._VERIFIED_SEEK_PATHS.clear()
+
+    indices = [150, 153, 156]
+    _, frames = VideoReader(
+        fingerprint_video, frame_indices=indices).get_frames()
+    assert [_fingerprint(f) for f in frames] == indices
+    with video_lib._VERIFIED_SEEK_LOCK:
+        assert fingerprint_video in video_lib._VERIFIED_SEEK_PATHS
+
+    # Simulate a codec whose seek lands wrong: corrupt the seek-decode.
+    with video_lib._VERIFIED_SEEK_LOCK:
+        video_lib._VERIFIED_SEEK_PATHS.clear()
+    original = video_lib.VideoReader._decode_cv2
+
+    def corrupted(self, use_seek=True):
+        frames = original(self, use_seek=use_seek)
+        if use_seek and frames.size:
+            frames = frames.copy()
+            frames[0, 0, 0, 0] ^= 0xFF
+        return frames
+
+    monkeypatch.setattr(video_lib.VideoReader, '_decode_cv2', corrupted)
+    with pytest.raises(RuntimeError, match='does not match'):
+        VideoReader(fingerprint_video, frame_indices=indices).get_frames()
+    with video_lib._VERIFIED_SEEK_LOCK:
+        assert fingerprint_video not in video_lib._VERIFIED_SEEK_PATHS
