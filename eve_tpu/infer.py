@@ -90,11 +90,21 @@ def model_setup(config, pretrained_dir=None, require_weights=False):
         refine = load_pretrained_params(config, 'refine_net', pretrained_dir)
         if refine is not None:
             params['refine_net'] = refine
-        if require_weights and eye is None:
-            raise RuntimeError(
-                'No model weights: pass --resume-from <run_dir> or place '
-                'the released weights under $EVE_PRETRAINED_DIR (refusing '
-                'to serve/export randomly initialized parameters).')
+        if require_weights:
+            # Check EVERY enabled submodule: serving with only the eye-net
+            # release present would otherwise ship a randomly initialized
+            # RefineNet without a word.
+            missing = []
+            if eye is None:
+                missing.append('eye_net')
+            if getattr(spec, 'refine_net_enabled', True) and refine is None:
+                missing.append('refine_net')
+            if missing:
+                raise RuntimeError(
+                    'No %s weights: pass --resume-from <run_dir> or place '
+                    'the released weights under $EVE_PRETRAINED_DIR '
+                    '(refusing to serve/export randomly initialized '
+                    'parameters).' % ' + '.join(missing))
     return spec, params
 
 

@@ -48,10 +48,17 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
 
 
 def make_mesh(num_devices=0, axis_name='data', devices=None):
-    """1-D mesh over the first ``num_devices`` devices (0 = all)."""
+    """1-D mesh over the first ``num_devices`` devices (0 = all).
+
+    Asking for more devices than exist is a loud error (like
+    ``make_mesh_nd``), not a silent truncation — a config that expects 8
+    data shards must not quietly train on 4 with doubled per-device batch.
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
+        assert len(devices) >= num_devices, (
+            'need %d devices, have %d' % (num_devices, len(devices)))
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
 

@@ -37,8 +37,15 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq',
         given, xs/ys leaves are assumed (T, B, ...) and carry leaves
         (B, ...): the B dim shards over ``batch_axis`` inside the shard_map
         too, so data shards scan only their own samples instead of an
-        all-gathered global batch. Leaves too small/low-rank to shard stay
-        replicated.
+        all-gathered global batch. This is enforced strictly: every
+        xs leaf of rank >= 2 and every carry leaf must share ONE batch size
+        divisible by the ``batch_axis`` extent, else ValueError. (A laxer
+        per-leaf fallback to replication would be silently WRONG: with
+        ``check_vma=False`` below, a carry claimed replicated while its
+        value depends on batch-sharded inputs diverges across data shards
+        with no error. Callers with batch-free carries should pass
+        ``batch_axis=None``.) Rank-<2 xs leaves (no batch dim) stay
+        replicated over the batch axis — they cannot carry per-sample data.
 
     Returns:
       (final_carry, ys) — identical values to the single-device scan, with
@@ -51,12 +58,33 @@ def sharded_scan(step_fn, init_carry, xs, mesh, axis_name='seq',
 
     nb = mesh.shape[batch_axis] if batch_axis is not None else 1
 
+    if batch_axis is not None:
+        batch_sizes = set()
+        for x in jax.tree_util.tree_leaves(xs):
+            if x.ndim >= 2:
+                batch_sizes.add(x.shape[1])
+        for c in jax.tree_util.tree_leaves(init_carry):
+            if c.ndim < 1:
+                raise ValueError(
+                    'batch_axis=%r requires every carry leaf to have a '
+                    'leading batch dim (got a rank-0 carry); pass '
+                    'batch_axis=None for batch-free carries' % batch_axis)
+            batch_sizes.add(c.shape[0])
+        if len(batch_sizes) > 1:
+            raise ValueError(
+                'batch_axis=%r requires one uniform batch size across all '
+                'xs (dim 1) and carry (dim 0) leaves; got %s'
+                % (batch_axis, sorted(batch_sizes)))
+        if batch_sizes and next(iter(batch_sizes)) % nb != 0:
+            raise ValueError(
+                'batch size %d not divisible by the %r mesh axis (%d)'
+                % (next(iter(batch_sizes)), batch_axis, nb))
+
     def _xs_batch_sharded(x):
-        return batch_axis is not None and x.ndim >= 2 and x.shape[1] % nb == 0
+        return batch_axis is not None and x.ndim >= 2
 
     def _carry_batch_sharded(c):
-        return (batch_axis is not None and c.ndim >= 1 and
-                c.shape[0] > 0 and c.shape[0] % nb == 0)
+        return batch_axis is not None
 
     # step_fn typically closes over parameters; arrays captured by a
     # closure keep their (auto-mesh) shardings and clash with the manual

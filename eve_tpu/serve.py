@@ -37,7 +37,7 @@ import queue
 import threading
 import time
 import uuid
-from concurrent.futures import Future
+from concurrent.futures import Future, TimeoutError as FuturesTimeoutError
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -75,6 +75,12 @@ class EngineOverloadedError(RuntimeError):
 class _Request:
     inputs: Dict[str, np.ndarray]  # per-clip arrays, leading dim T
     session_id: Optional[str]
+    # The Session OBJECT captured at submit time. A session id can be
+    # closed and re-opened while a chunk is still queued; identity
+    # comparison against the current mapping detects such stale chunks so
+    # they fail instead of advancing the NEW incarnation's state, and a
+    # stale chunk's failure never poisons the new incarnation.
+    session: Optional["Session"] = None
     future: Future = field(default_factory=Future)
     signature: tuple = ()
     enqueued_at: float = 0.0
@@ -114,8 +120,14 @@ class ServingEngine:
         the batch size (``max_batch`` is taken from it); sessions require a
         streaming export. Exactly one of (spec+params) / artifact must be
         given."""
-        assert (artifact is None) != (spec is None and params is None), (
-            'pass either spec+params or artifact')
+        if artifact is None:
+            if spec is None or params is None:
+                raise ValueError(
+                    'pass spec AND params (got spec=%s, params=%s), or '
+                    'artifact=...' % (type(spec).__name__,
+                                      type(params).__name__))
+        elif spec is not None or params is not None:
+            raise ValueError('pass either spec+params or artifact, not both')
         self.spec = spec
         self._artifact = None
         if artifact is not None:
@@ -146,9 +158,12 @@ class ServingEngine:
             maxsize=int(max_queue))
         self._deferred: List[_Request] = []  # owned by the batcher thread
         self._deferred_sessions = set()      # sessions with a deferred chunk
-        # Sessions with a failed/expired chunk: successors must fail too
-        # (running them would use recurrent state that never saw the lost
-        # chunk). Cleared when the session is closed.
+        # Session OBJECTS with a failed/expired chunk: successors must fail
+        # too (running them would use recurrent state that never saw the
+        # lost chunk). Holds objects, not ids, so a closed-and-reopened id
+        # starts clean; an entry is removed when its session is closed.
+        # Mutated by the batcher thread and (on client-side timeouts) by
+        # caller threads — individual set ops are atomic under the GIL.
         self._broken_sessions = set()
         self._sessions: Dict[str, Session] = {}
         self._sessions_lock = threading.Lock()
@@ -165,6 +180,10 @@ class ServingEngine:
             self._zero_state = jax.tree.map(
                 np.asarray, eve_lib.init_stream_state(spec, 1))
         self._jit_cache = {}
+        # Counters are bumped from the batcher thread AND from caller/HTTP
+        # threads (rejections, timeouts); dict-item += is not atomic, so
+        # every mutation goes through _stat_inc.
+        self._stats_lock = threading.Lock()
         self.stats = {
             'requests': 0, 'batches': 0, 'batched_slots': 0,
             'errors': 0, 'sessions_opened': 0, 'rejected': 0, 'timed_out': 0,
@@ -192,13 +211,18 @@ class ServingEngine:
                     % self.max_sessions)
             self._sessions[session_id] = Session(
                 session_id, jax.tree.map(np.copy, self._zero_state))
-            self.stats['sessions_opened'] += 1
+        self._stat_inc('sessions_opened')
         return session_id
+
+    def _stat_inc(self, key, n=1):
+        with self._stats_lock:
+            self.stats[key] += n
 
     def close_session(self, session_id):
         with self._sessions_lock:
-            self._sessions.pop(session_id, None)
-        self._broken_sessions.discard(session_id)
+            session = self._sessions.pop(session_id, None)
+        if session is not None:
+            self._broken_sessions.discard(session)
 
     def submit(self, inputs, session_id=None) -> Future:
         """Enqueue one clip (arrays with leading dim T); returns a Future.
@@ -209,21 +233,23 @@ class ServingEngine:
         """
         if self._stop.is_set():
             raise RuntimeError('serving engine stopped')
+        session = None
         if session_id is not None:
             with self._sessions_lock:
-                if session_id not in self._sessions:
-                    raise UnknownSessionError(
-                        'unknown session: %s' % session_id)
+                session = self._sessions.get(session_id)
+            if session is None:
+                raise UnknownSessionError(
+                    'unknown session: %s' % session_id)
         req = _Request(
             inputs={k: np.asarray(v) for k, v in inputs.items()},
-            session_id=session_id,
+            session_id=session_id, session=session,
             enqueued_at=time.perf_counter())
         req.signature = tuple(sorted(
             (k, v.shape, str(v.dtype)) for k, v in req.inputs.items()))
         try:
             self._queue.put_nowait(req)
         except queue.Full:
-            self.stats['rejected'] += 1
+            self._stat_inc('rejected')
             raise EngineOverloadedError(
                 'request queue full (%d pending); retry later'
                 % self._queue.maxsize)
@@ -233,9 +259,28 @@ class ServingEngine:
             self._fail_queued(RuntimeError('serving engine stopped'))
         return req.future
 
-    def infer(self, inputs, session_id=None, timeout=120.0):
-        """Blocking convenience wrapper around :meth:`submit`."""
-        return self.submit(inputs, session_id).result(timeout=timeout)
+    def infer(self, inputs, session_id=None, timeout=None):
+        """Blocking convenience wrapper around :meth:`submit`.
+
+        ``timeout=None`` waits ``request_timeout_s`` plus a 120 s
+        first-compile allowance (a new signature's XLA compile runs on the
+        batcher thread with the request already admitted). A client-side
+        timeout marks the session broken: the chunk may still execute and
+        advance the recurrent state, so letting a retry run would apply it
+        twice; successors fail loudly until the client restarts the stream.
+        """
+        if timeout is None:
+            timeout = self.request_timeout_s + 120.0
+        future = self.submit(inputs, session_id)
+        try:
+            return future.result(timeout=timeout)
+        except FuturesTimeoutError:
+            if session_id is not None:
+                with self._sessions_lock:
+                    session = self._sessions.get(session_id)
+                if session is not None:
+                    self._broken_sessions.add(session)
+            raise
 
     def stop(self):
         """Stop the batcher and promptly fail all pending requests."""
@@ -260,7 +305,8 @@ class ServingEngine:
 
     def get_stats(self):
         """Counters plus live queue/deferred depth (for monitoring)."""
-        out = dict(self.stats)
+        with self._stats_lock:
+            out = dict(self.stats)
         out['queue_depth'] = self._queue.qsize()
         out['deferred'] = len(self._deferred)
         with self._sessions_lock:
@@ -301,20 +347,22 @@ class ServingEngine:
             try:
                 self._dispatch(reqs)
             except Exception as e:  # pragma: no cover - defensive
-                self.stats['errors'] += len(reqs)
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                # Count only requests failed HERE (dispatch may already
+                # have failed-and-counted some, e.g. closed sessions).
+                newly_failed = [r for r in reqs if not r.future.done()]
+                self._stat_inc('errors', len(newly_failed))
+                for r in newly_failed:
+                    r.future.set_exception(e)
                 # A session whose chunk failed must not silently continue
                 # from pre-failure state: fail its deferred successors too.
-                failed = {r.session_id for r in reqs
-                          if r.session_id is not None}
+                failed = {r.session for r in newly_failed
+                          if r.session is not None}
                 self._broken_sessions |= failed
                 if failed:
                     keep = []
                     for r in self._deferred:
-                        if r.session_id in failed:
-                            self.stats['errors'] += 1
+                        if r.session in failed:
+                            self._stat_inc('errors')
                             if not r.future.done():
                                 r.future.set_exception(RuntimeError(
                                     'a previous chunk of session %s failed'
@@ -336,24 +384,38 @@ class ServingEngine:
         from the batch head's; or (d) the batch is full. Requests older than
         ``request_timeout_s`` fail with EngineOverloadedError instead of
         occupying a slot."""
-        if r.session_id is not None and r.session_id in self._broken_sessions:
-            self.stats['errors'] += 1
-            if not r.future.done():
-                r.future.set_exception(RuntimeError(
-                    'a previous chunk of session %s failed or expired; '
-                    'close the session and restart the stream'
-                    % r.session_id))
-            return False
+        if r.session is not None:
+            with self._sessions_lock:
+                current = self._sessions.get(r.session_id) is r.session
+            if not current:
+                # The session was closed (and possibly re-opened under the
+                # same id) after this chunk was submitted; running it would
+                # advance the NEW incarnation's state with stale data.
+                self._stat_inc('errors')
+                if not r.future.done():
+                    r.future.set_exception(UnknownSessionError(
+                        'session closed before dispatch: %s' % r.session_id))
+                return False
+            if r.session in self._broken_sessions:
+                self._stat_inc('errors')
+                if not r.future.done():
+                    r.future.set_exception(RuntimeError(
+                        'a previous chunk of session %s failed or expired; '
+                        'close the session and restart the stream'
+                        % r.session_id))
+                return False
         if (time.perf_counter() - r.enqueued_at) > self.request_timeout_s:
-            self.stats['errors'] += 1
-            self.stats['timed_out'] += 1
+            self._stat_inc('errors')
+            self._stat_inc('timed_out')
             if not r.future.done():
                 r.future.set_exception(EngineOverloadedError(
                     'request waited > %.1fs in queue' % self.request_timeout_s))
-            if r.session_id is not None:
+            if r.session is not None:
                 # The stream now has a hole; successors must not run on
-                # pre-expiry recurrent state.
-                self._broken_sessions.add(r.session_id)
+                # pre-expiry recurrent state. (r.session was just checked
+                # to be the CURRENT incarnation, so this cannot poison a
+                # re-opened id.)
+                self._broken_sessions.add(r.session)
             return False
 
         def defer():
@@ -423,20 +485,24 @@ class ServingEngine:
         # not silently run on freshly-zeroed state mid-stream.
         live: List[_Request] = []
         sessions: List[Optional[Session]] = []
+        dropped = 0
         with self._sessions_lock:
             for r in reqs:
-                if r.session_id is None:
+                if r.session is None:
                     live.append(r)
                     sessions.append(None)
                     continue
-                s = self._sessions.get(r.session_id)
-                if s is None:
-                    self.stats['errors'] += 1
+                # Identity (not id) check: a closed-and-reopened session id
+                # must not have its new state advanced by a stale chunk.
+                if self._sessions.get(r.session_id) is r.session:
+                    live.append(r)
+                    sessions.append(r.session)
+                else:
+                    dropped += 1
                     r.future.set_exception(UnknownSessionError(
                         'session closed before dispatch: %s' % r.session_id))
-                else:
-                    live.append(r)
-                    sessions.append(s)
+        if dropped:
+            self._stat_inc('errors', dropped)
         reqs = live
         if not reqs:
             return
@@ -466,7 +532,8 @@ class ServingEngine:
         with self._sessions_lock:
             for i, s in enumerate(sessions):
                 # Session may have been closed mid-flight; drop state then.
-                if s is not None and s.session_id in self._sessions:
+                if s is not None and \
+                        self._sessions.get(s.session_id) is s:
                     # Copy (not slice-view) so the per-session state doesn't
                     # pin the whole batch-sized array in memory.
                     s.state = jax.tree.map(
@@ -480,9 +547,10 @@ class ServingEngine:
                 elif v.ndim == 0:
                     per_sample[k] = v
             r.future.set_result(per_sample)
-        self.stats['requests'] += n
-        self.stats['batches'] += 1
-        self.stats['batched_slots'] += n
+        with self._stats_lock:
+            self.stats['requests'] += n
+            self.stats['batches'] += 1
+            self.stats['batched_slots'] += n
 
 
 # ----------------------------------------------------------------------
@@ -501,9 +569,14 @@ def _npz_parse(body):
 
 
 def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
-                     served_outputs=DEFAULT_SERVED_OUTPUTS,
+                     served_outputs=None,
                      max_body_bytes=256 * 1024 * 1024):
     """Build a ``ThreadingHTTPServer`` exposing the engine.
+
+    ``served_outputs=None`` (default) serves whatever the ENGINE was
+    configured to produce — the HTTP layer adds no second, possibly
+    disagreeing filter. Pass an explicit tuple to narrow responses
+    further.
 
     Routes:
       GET  /healthz                      -> {"status": "ok"}
@@ -532,6 +605,10 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
             self.send_response(code)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
+            if self.close_connection:
+                # Announce the close (stdlib only closes the socket; the
+                # header lets well-behaved clients stop reusing it first).
+                self.send_header('Connection', 'close')
             self.end_headers()
             self.wfile.write(body)
 
@@ -539,6 +616,8 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
             self.send_response(code)
             self.send_header('Content-Type', ctype)
             self.send_header('Content-Length', str(len(body)))
+            if self.close_connection:
+                self.send_header('Connection', 'close')
             self.end_headers()
             self.wfile.write(body)
 
@@ -556,11 +635,26 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                     self._json(200, {'session_id': engine.open_session()})
                     return
                 if self.path == '/v1/infer':
-                    length = int(self.headers.get('Content-Length', 0))
+                    # Any refusal before the body is fully read must close
+                    # the connection: leftover body bytes would be parsed
+                    # as the NEXT request line on a keep-alive stream.
+                    if 'chunked' in (self.headers.get('Transfer-Encoding')
+                                     or '').lower():
+                        self.close_connection = True
+                        self._json(411, {
+                            'error': 'chunked bodies unsupported; send '
+                                     'Content-Length'})
+                        return
+                    raw_length = self.headers.get('Content-Length')
+                    if raw_length is None or not raw_length.strip().isdigit():
+                        self.close_connection = True
+                        self._json(411 if raw_length is None else 400, {
+                            'error': 'missing or malformed Content-Length'})
+                        return
+                    length = int(raw_length)
                     if length > max_body_bytes:
-                        # Refuse BEFORE reading the body; also close the
-                        # connection since the unread body would otherwise
-                        # desync the keep-alive stream.
+                        # Refuse BEFORE reading the body (an oversized
+                        # Content-Length must not exhaust host memory).
                         self.close_connection = True
                         self._json(413, {
                             'error': 'body of %d bytes exceeds limit %d'
@@ -569,7 +663,12 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                     inputs = _npz_parse(self.rfile.read(length))
                     sid = self.headers.get('X-Session-Id') or None
                     out = engine.infer(inputs, session_id=sid)
-                    served = {k: out[k] for k in served_outputs if k in out}
+                    keys = (served_outputs if served_outputs is not None
+                            else engine.served_outputs)
+                    if keys is None:
+                        served = out
+                    else:
+                        served = {k: out[k] for k in keys if k in out}
                     self._bytes(200, _npz_bytes(served))
                     return
                 self._json(404, {'error': 'not found'})
@@ -585,6 +684,9 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                 self.wfile.write(body)
             except Exception as e:  # noqa: BLE001
                 logger.exception('request failed')
+                # Conservative: the body may not have been (fully) read on
+                # this path; never reuse a possibly-desynced connection.
+                self.close_connection = True
                 self._json(500, {'error': repr(e)})
 
         def do_DELETE(self):

@@ -189,3 +189,46 @@ def test_streaming_inference_carries_state(dataset_root, clean_config,
     np.testing.assert_allclose(streamed[0], plain[0], rtol=1e-3, atol=1e-2)
     # Later clips: carried state changes the trajectory.
     assert not np.allclose(streamed[1], plain[1], atol=1e-3)
+
+
+def test_model_setup_require_weights_checks_all_submodules(
+        clean_config, tmp_path, monkeypatch):
+    """require_weights must validate EVERY enabled submodule: with only the
+    eye-net release present and refine_net_enabled, serving would otherwise
+    ship a randomly initialized RefineNet without a word."""
+    pytest.importorskip('torch')
+    import jax
+    from eve_tpu import infer as infer_lib
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.utils import torch_convert
+    from eve_tpu.utils.load_model import pretrained_filename
+
+    config = DefaultConfig()
+    config.import_dict({'max_sequence_len': 6, 'assumed_frame_rate': 10,
+                        'eyes_size': [32, 32],
+                        'refine_net_enabled': True,
+                        'load_screen_content': True})
+
+    empty = tmp_path / 'empty'
+    empty.mkdir()
+    monkeypatch.setenv('EVE_PRETRAINED_DIR', str(empty))
+    with pytest.raises(RuntimeError, match='eye_net'):
+        infer_lib.model_setup(config, require_weights=True)
+
+    # Eye-net weights alone are NOT enough while the refine net is enabled.
+    pdir = tmp_path / 'pretrained'
+    pdir.mkdir()
+    spec = eve_lib.EveSpec.from_config(config)
+    donor = eve_lib.init_params(spec, jax.random.PRNGKey(7))
+    torch_convert.save_reference_checkpoint(
+        str(pdir / pretrained_filename(config, 'eye_net')),
+        donor['eye_net'], 'eye_net')
+    monkeypatch.setenv('EVE_PRETRAINED_DIR', str(pdir))
+    with pytest.raises(RuntimeError, match='refine_net'):
+        infer_lib.model_setup(config, require_weights=True)
+
+    # With the refine net disabled the same weights suffice.
+    config.override('refine_net_enabled', False)
+    config.override('load_screen_content', False)
+    spec2, params2 = infer_lib.model_setup(config, require_weights=True)
+    assert spec2 is not None and params2 is not None

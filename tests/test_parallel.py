@@ -276,3 +276,34 @@ def test_data_and_sequence_parallel_train_step(tiny_spec):
                                    float(metrics_sp[k]), rtol=1e-4,
                                    err_msg=k)
     assert not bool(metrics_sp['nan_flag'])
+
+
+def test_make_mesh_too_many_devices_raises():
+    with pytest.raises(AssertionError, match='need 99 devices'):
+        mesh_lib.make_mesh(num_devices=99)
+
+
+def test_sharded_scan_rejects_inconsistent_batch_leaves():
+    """With batch_axis set, mixed batch sizes / rank-0 carries must raise:
+    a silent fall-back to 'replicated' would let a carry that depends on
+    batch-sharded inputs diverge across data shards (check_vma is off)."""
+    from eve_tpu.parallel.temporal import sharded_scan
+
+    mesh = mesh_lib.make_mesh_nd({'data': 2, 'seq': 2})
+    T, B, F = 4, 4, 3
+    xs = {'a': jnp.ones((T, B, F)), 'b': jnp.ones((T, 3, F))}  # mixed B
+
+    def step(c, x):
+        return c, c
+
+    with pytest.raises(ValueError, match='uniform batch size'):
+        sharded_scan(step, jnp.zeros((B, F)), xs, mesh,
+                     axis_name='seq', batch_axis='data')
+
+    with pytest.raises(ValueError, match='rank-0 carry'):
+        sharded_scan(step, jnp.zeros(()), {'a': jnp.ones((T, B, F))},
+                     mesh, axis_name='seq', batch_axis='data')
+
+    with pytest.raises(ValueError, match='not divisible'):
+        sharded_scan(step, jnp.zeros((3, F)), {'a': jnp.ones((T, 3, F))},
+                     mesh, axis_name='seq', batch_axis='data')

@@ -419,3 +419,168 @@ def test_http_server_round_trip(spec, params):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_engine_requires_params_with_spec(spec):
+    with pytest.raises(ValueError, match='spec AND params'):
+        ServingEngine(spec, None)
+
+
+def _frozen_engine(spec, params, **kw):
+    """Engine with the batcher thread stopped so _try_add/_dispatch can be
+    driven deterministically from the test thread."""
+    engine = ServingEngine(spec, params, **kw)
+    engine._stop.set()
+    engine._thread.join(timeout=10.0)
+    engine._stop.clear()
+    return engine
+
+
+def test_stale_chunk_after_session_reopen_fails(spec, params):
+    """A chunk submitted against a session that is then closed and
+    re-opened under the same id must fail (identity check) instead of
+    advancing the NEW incarnation's recurrent state."""
+    import time as time_lib
+
+    from eve_tpu.serve import _Request
+
+    engine = _frozen_engine(spec, params, max_batch=2)
+    try:
+        sid = engine.open_session(session_id='S')
+        with engine._sessions_lock:
+            first_incarnation = engine._sessions[sid]
+        stale = _Request(inputs={}, session_id=sid,
+                         session=first_incarnation,
+                         enqueued_at=time_lib.perf_counter())
+        engine.close_session(sid)
+        engine.open_session(session_id=sid)
+
+        assert engine._try_add(stale, [], set()) is False
+        with pytest.raises(UnknownSessionError):
+            stale.future.result(timeout=0)
+
+        # The new incarnation is clean and admissible.
+        with engine._sessions_lock:
+            second = engine._sessions[sid]
+        assert second is not first_incarnation
+        fresh = _Request(inputs={}, session_id=sid, session=second,
+                         enqueued_at=time_lib.perf_counter())
+        reqs = []
+        assert engine._try_add(fresh, reqs, set()) is True
+        assert reqs == [fresh]
+    finally:
+        engine.stop()
+
+
+def test_expired_chunk_does_not_poison_reopened_session(spec, params):
+    """Queue expiry marks only the CURRENT incarnation broken; closing and
+    re-opening the id starts clean (no unbounded _broken_sessions growth,
+    no permanently-poisoned ids)."""
+    import time as time_lib
+
+    from eve_tpu.serve import _Request
+
+    engine = _frozen_engine(spec, params, request_timeout_s=0.001)
+    try:
+        sid = engine.open_session(session_id='S')
+        with engine._sessions_lock:
+            first_incarnation = engine._sessions[sid]
+        old = _Request(inputs={}, session_id=sid, session=first_incarnation,
+                       enqueued_at=time_lib.perf_counter() - 10.0)
+        assert engine._try_add(old, [], set()) is False
+        with pytest.raises(EngineOverloadedError):
+            old.future.result(timeout=0)
+        assert first_incarnation in engine._broken_sessions
+
+        # Successor of the same incarnation fails (broken stream)...
+        succ = _Request(inputs={}, session_id=sid,
+                        session=first_incarnation,
+                        enqueued_at=time_lib.perf_counter())
+        assert engine._try_add(succ, [], set()) is False
+        with pytest.raises(RuntimeError, match='failed or expired'):
+            succ.future.result(timeout=0)
+
+        # ...but close+reopen starts clean, and the broken entry is gone.
+        engine.close_session(sid)
+        assert first_incarnation not in engine._broken_sessions
+        engine.open_session(session_id=sid)
+        with engine._sessions_lock:
+            second = engine._sessions[sid]
+        fresh = _Request(inputs={}, session_id=sid, session=second,
+                         enqueued_at=time_lib.perf_counter())
+        assert engine._try_add(fresh, [], set()) is True
+    finally:
+        engine.stop()
+
+
+def test_infer_timeout_marks_session_broken(spec, params):
+    """A client-side infer() timeout poisons the session: the chunk may
+    still execute server-side, so a retry must not silently double-apply."""
+    engine = _frozen_engine(spec, params)  # batcher frozen: result never comes
+    try:
+        sid = engine.open_session()
+        [clip] = _clips(3, 1)
+        from concurrent.futures import TimeoutError as FTimeout
+        with pytest.raises(FTimeout):
+            engine.infer(clip, session_id=sid, timeout=0.05)
+        with engine._sessions_lock:
+            session = engine._sessions[sid]
+        assert session in engine._broken_sessions
+    finally:
+        engine.stop()
+
+
+def test_http_length_handling(spec, params):
+    """Missing Content-Length -> 411, malformed -> 400, chunked -> 411,
+    each closing the connection so keep-alive streams cannot desync."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    server = make_http_server(engine, host='127.0.0.1', port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    try:
+        cases = [
+            ({}, 411),
+            ({'Content-Length': 'abc'}, 400),
+            ({'Transfer-Encoding': 'chunked'}, 411),
+        ]
+        for headers, expect in cases:
+            conn = http.client.HTTPConnection(host, port, timeout=60)
+            conn.putrequest('POST', '/v1/infer')
+            for k, v in headers.items():
+                conn.putheader(k, v)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == expect, (headers, resp.status)
+            assert resp.getheader('Connection') == 'close'
+            resp.read()
+            conn.close()
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
+def test_http_served_outputs_follow_engine(spec, params):
+    """The HTTP layer's default filter is the ENGINE's served_outputs, not
+    an independent list that can disagree with it."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           served_outputs=('PoG_px_final',))
+    server = make_http_server(engine, host='127.0.0.1', port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    try:
+        [clip] = _clips(21, 1)
+        buf = io.BytesIO()
+        np.savez(buf, **clip)
+        body = buf.getvalue()
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        conn.request('POST', '/v1/infer', body=body,
+                     headers={'Content-Length': str(len(body))})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with np.load(io.BytesIO(resp.read())) as z:
+            assert sorted(z.files) == ['PoG_px_final']
+    finally:
+        server.shutdown()
+        engine.stop()
