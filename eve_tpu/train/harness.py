@@ -439,113 +439,132 @@ def main_loop_iterator(exp, train_data, test_data):
     perf_t0 = time.perf_counter()
     perf_steps = 0
     perf_wait = 0.0
-    for current_step in range(exp.last_step, num_training_steps):
-        current_epoch = ((current_step // echo) * local_batch) \
-            / max_dataset_len
-        exp.tensorboard.update_current_step(current_step + 1)
+    try:
+        for current_step in range(exp.last_step, num_training_steps):
+            current_epoch = ((current_step // echo) * local_batch) \
+                / max_dataset_len
+            exp.tensorboard.update_current_step(current_step + 1)
 
-        if config.profile_dir and current_step == profile_anchor + 5:
-            jax.profiler.start_trace(config.profile_dir)
-            profiling = True
+            if config.profile_dir and current_step == profile_anchor + 5:
+                jax.profiler.start_trace(config.profile_dir)
+                profiling = True
 
-        # Data echoing: reuse each loaded batch `echo` times (the kappa
-        # augmentation stream still differs per step via `rng`) — a
-        # device-utilization lever when the host pipeline is the
-        # bottleneck (BASELINE.md "Host-pipeline scaling").
-        if echo == 1 or echo_cache is None or current_step % echo == 0:
-            wait_start = time.perf_counter()
-            if multi_source:
-                device_batch = {tag: next_batch(tag, d)[0]
-                                for tag, d in train_data.items()}
-                first_batch = device_batch[tag0]
+            # Data echoing: reuse each loaded batch `echo` times (the kappa
+            # augmentation stream still differs per step via `rng`) — a
+            # device-utilization lever when the host pipeline is the
+            # bottleneck (BASELINE.md "Host-pipeline scaling").
+            if echo == 1 or echo_cache is None or current_step % echo == 0:
+                wait_start = time.perf_counter()
+                if multi_source:
+                    device_batch = {tag: next_batch(tag, d)[0]
+                                    for tag, d in train_data.items()}
+                    first_batch = device_batch[tag0]
+                else:
+                    device_batch, _ = next_batch(tag0, data0)
+                    first_batch = device_batch
+                perf_wait += time.perf_counter() - wait_start
+                echo_cache = (device_batch, first_batch)
             else:
-                device_batch, _ = next_batch(tag0, data0)
-                first_batch = device_batch
-            perf_wait += time.perf_counter() - wait_start
-            echo_cache = (device_batch, first_batch)
-        else:
-            device_batch, first_batch = echo_cache
+                device_batch, first_batch = echo_cache
 
-        rng, sub = jax.random.split(rng)
-        exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
+            rng, sub = jax.random.split(rng)
+            exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
 
-        if profiling and current_step == profile_anchor + 10:
+            if profiling and current_step == profile_anchor + 10:
+                jax.profiler.stop_trace()
+                profiling = False
+
+            images = {}
+            if config.load_screen_content and step_modulo(
+                    current_step, config.tensorboard_images_every_n_steps):
+                if not hasattr(exp, 'image_step'):
+                    exp.image_step = step_lib.make_eval_step(
+                        exp.spec, create_images=True)
+                from eve_tpu.train.logging_utils import compose_training_images
+                # EVERY process runs the jitted eval step (it participates
+                # in the mesh collectives; gating it per-host would desync
+                # SPMD execution), but only the primary does the host-side
+                # composition — compose fetches local shards of the
+                # globally-sharded outputs.
+                img_out = exp.image_step(exp.state.params, first_batch)
+                if mesh_lib.is_primary_process():
+                    images = compose_training_images(
+                        img_out, screen_size=tuple(config.screen_size))
+            yield current_step, metrics, images
+
+            # The three logging intervals and the NaN watchdog are independent
+            # (nesting them under the console-log gate would silently disable
+            # scalars and delay the NaN abort when log_every_n_steps is raised).
+            log_console = step_modulo(current_step, config.log_every_n_steps)
+            log_scalars = step_modulo(current_step,
+                                      config.tensorboard_scalars_every_n_steps)
+            perf_steps += 1
+            if log_console or log_scalars:
+                host_metrics = {k: float(v) for k, v in metrics.items()
+                                if k != 'nan_flag'}
+                # Interval-level pipeline stats (metric fetch above synced the
+                # device, so the wall-clock window is honest).
+                dt = time.perf_counter() - perf_t0
+                steps_per_sec = perf_steps / max(dt, 1e-9)
+                data_wait_pct = 100.0 * perf_wait / max(dt, 1e-9)
+                perf_t0 = time.perf_counter()
+                perf_steps = 0
+                perf_wait = 0.0
+            if log_console:
+                logger.info('Step %d, Epoch %.2f [%.2f steps/s, '
+                            '%.0f%% data-wait]> %s', current_step + 1,
+                            current_epoch, steps_per_sec, data_wait_pct,
+                            ', '.join('%s: %.4g' % (k, host_metrics[k])
+                                      for k in sorted(host_metrics)))
+            if log_scalars:
+                for key, metric in host_metrics.items():
+                    if key.startswith('loss_'):
+                        exp.tensorboard.add_scalar(
+                            'train_losses/%s' % key[len('loss_'):], metric)
+                    elif key.startswith('metric_'):
+                        exp.tensorboard.add_scalar(
+                            'train_metrics/%s' % key[len('metric_'):], metric)
+                    else:
+                        exp.tensorboard.add_scalar('train/%s' % key, metric)
+                exp.tensorboard.add_scalar('lr/epoch', current_epoch)
+                exp.tensorboard.add_scalar('perf/steps_per_sec', steps_per_sec)
+                exp.tensorboard.add_scalar('perf/data_wait_pct', data_wait_pct)
+            if step_modulo(current_step,
+                           config.tensorboard_learning_rate_every_n_steps):
+                # The schedule's domain is OPTIMIZER UPDATES; with gradient
+                # accumulation the optimizer has only applied
+                # current_step // accum of them (optax MultiSteps counts inner
+                # updates), so log the LR actually in effect.
+                exp.tensorboard.add_scalar(
+                    'lr/optim_0', float(exp.schedule(current_step // accum)))
+            if log_console or log_scalars:
+                abort_if_nan(metrics)
+
+            if step_modulo(current_step, config.checkpoints_save_every_n_steps):
+                abort_if_nan(metrics)  # never persist NaN parameters
+                if mesh_lib.is_primary_process():
+                    exp.checkpoint_manager.save_at_step(
+                        current_step + 1, exp.state)
+
+            if step_modulo(current_step, config.test_every_n_steps):
+                abort_if_nan(metrics)
+                _, for_gsheet = test_model_on_all(exp, test_data,
+                                                  current_step + 1)
+                if for_gsheet is not None:
+                    for_gsheet['Step'] = current_step + 1
+                    for_gsheet['Epoch'] = current_epoch
+                    exp.gsheet_logger.update_or_append_row(for_gsheet)
+
+            exp.last_epoch = current_epoch
+            exp.last_step = current_step
+    finally:
+        # Stop an open trace on EVERY exit path - normal end, a run
+        # shorter than the profile window, NaN abort (SystemExit from
+        # cleanup_and_quit), or the consumer closing the generator -
+        # else the trace file is left empty/corrupt.
+        if profiling:
             jax.profiler.stop_trace()
             profiling = False
-
-        images = {}
-        if config.load_screen_content and step_modulo(
-                current_step, config.tensorboard_images_every_n_steps):
-            if not hasattr(exp, 'image_step'):
-                exp.image_step = step_lib.make_eval_step(
-                    exp.spec, create_images=True)
-            from eve_tpu.train.logging_utils import compose_training_images
-            img_out = exp.image_step(exp.state.params, first_batch)
-            images = compose_training_images(
-                img_out, screen_size=tuple(config.screen_size))
-        yield current_step, metrics, images
-
-        # The three logging intervals and the NaN watchdog are independent
-        # (nesting them under the console-log gate would silently disable
-        # scalars and delay the NaN abort when log_every_n_steps is raised).
-        log_console = step_modulo(current_step, config.log_every_n_steps)
-        log_scalars = step_modulo(current_step,
-                                  config.tensorboard_scalars_every_n_steps)
-        perf_steps += 1
-        if log_console or log_scalars:
-            host_metrics = {k: float(v) for k, v in metrics.items()
-                            if k != 'nan_flag'}
-            # Interval-level pipeline stats (metric fetch above synced the
-            # device, so the wall-clock window is honest).
-            dt = time.perf_counter() - perf_t0
-            steps_per_sec = perf_steps / max(dt, 1e-9)
-            data_wait_pct = 100.0 * perf_wait / max(dt, 1e-9)
-            perf_t0 = time.perf_counter()
-            perf_steps = 0
-            perf_wait = 0.0
-        if log_console:
-            logger.info('Step %d, Epoch %.2f [%.2f steps/s, '
-                        '%.0f%% data-wait]> %s', current_step + 1,
-                        current_epoch, steps_per_sec, data_wait_pct,
-                        ', '.join('%s: %.4g' % (k, host_metrics[k])
-                                  for k in sorted(host_metrics)))
-        if log_scalars:
-            for key, metric in host_metrics.items():
-                if key.startswith('loss_'):
-                    exp.tensorboard.add_scalar(
-                        'train_losses/%s' % key[len('loss_'):], metric)
-                elif key.startswith('metric_'):
-                    exp.tensorboard.add_scalar(
-                        'train_metrics/%s' % key[len('metric_'):], metric)
-                else:
-                    exp.tensorboard.add_scalar('train/%s' % key, metric)
-            exp.tensorboard.add_scalar('lr/epoch', current_epoch)
-            exp.tensorboard.add_scalar('perf/steps_per_sec', steps_per_sec)
-            exp.tensorboard.add_scalar('perf/data_wait_pct', data_wait_pct)
-        if step_modulo(current_step,
-                       config.tensorboard_learning_rate_every_n_steps):
-            exp.tensorboard.add_scalar(
-                'lr/optim_0', float(exp.schedule(current_step)))
-        if log_console or log_scalars:
-            abort_if_nan(metrics)
-
-        if step_modulo(current_step, config.checkpoints_save_every_n_steps):
-            abort_if_nan(metrics)  # never persist NaN parameters
-            if mesh_lib.is_primary_process():
-                exp.checkpoint_manager.save_at_step(
-                    current_step + 1, exp.state)
-
-        if step_modulo(current_step, config.test_every_n_steps):
-            abort_if_nan(metrics)
-            _, for_gsheet = test_model_on_all(exp, test_data,
-                                              current_step + 1)
-            if for_gsheet is not None:
-                for_gsheet['Step'] = current_step + 1
-                for_gsheet['Epoch'] = current_epoch
-                exp.gsheet_logger.update_or_append_row(for_gsheet)
-
-        exp.last_epoch = current_epoch
-        exp.last_step = current_step
 
     if mesh_lib.is_primary_process() and hasattr(exp, 'state'):
         # Same completed-step numbering as the periodic saves

@@ -72,7 +72,22 @@ def compose_training_images(outputs, screen_size=(128, 72)):
     sw, sh = screen_size
 
     def _np(key):
-        return np.asarray(outputs[key])
+        value = outputs[key]
+        if hasattr(value, 'is_fully_addressable') and \
+                not value.is_fully_addressable:
+            # Multi-host: jit outputs are globally-sharded arrays whose
+            # remote shards this process cannot fetch (np.asarray raises).
+            # Logged images only need SOME samples — concatenate the local
+            # shards (deduped by batch offset; replicated-per-device
+            # shards repeat the same offset).
+            parts = {}
+            for shard in value.addressable_shards:
+                index = shard.index[0] if shard.index else slice(None)
+                start = getattr(index, 'start', None) or 0
+                parts.setdefault(start, np.asarray(shard.data))
+            return np.concatenate(
+                [parts[k] for k in sorted(parts)], axis=0)
+        return np.asarray(value)
 
     if 'screen_frame' in outputs:
         screen = _np('screen_frame')                       # (B, h, w, 3)
@@ -80,10 +95,15 @@ def compose_training_images(outputs, screen_size=(128, 72)):
                           ('refined', 'refined_gaze_history')):
             if key not in outputs:
                 continue
-            hist = np.clip(_np(key).astype(np.float32), 0.0, 1.0)  # (B, H, W)
+            hist = _np(key).astype(np.float32)             # (B, H, W)
             hist = np.stack([cv2.resize(hm, (sw, sh),
                                         interpolation=cv2.INTER_LINEAR)
                              for hm in hist])
+            # Clamp AFTER the resize, like the reference (src/train.py:
+            # 73-76): history maps routinely exceed 1 near fixations, and
+            # interpolating the raw map then clamping yields visibly
+            # different composites than clamping first.
+            hist = np.clip(hist, 0.0, 1.0)
             hist3 = np.repeat(hist[..., None], 3, axis=-1)
             stacked = np.concatenate(
                 [screen, screen * hist3, hist3], axis=1)   # vconcat rows

@@ -22,7 +22,13 @@ import optax
 def learning_rate_schedule(step, *, base_lr, target_lr, steps_per_epoch,
                            num_warmup_epochs, strategy, decay_factor,
                            decay_epoch_interval):
-    """Absolute LR at ``step`` (host-side; mirrors training.py:382-418)."""
+    """Absolute LR at ``step`` (host-side; mirrors training.py:382-418).
+
+    Not called by training (the jit-able ``_schedule_array`` via
+    ``make_schedule`` is the live path) — this is the independently-written
+    oracle that ``test_schedule_cyclic_matches_host_reference`` pins the
+    live schedule against. Any decay-strategy change must be made in BOTH
+    or the parity test fails (by design)."""
     num_warmup_steps = int(steps_per_epoch * num_warmup_epochs)
     if step < num_warmup_steps:
         a = (target_lr - base_lr) / float(num_warmup_steps)
