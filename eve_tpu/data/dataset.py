@@ -155,8 +155,10 @@ class EVESequencesBase:
         cfg = self.config
         subentry = {}
 
+        scalar_keys = ()
         if source != 'screen':
             groups, scalars = self._load_labels_full(path, source)
+            scalar_keys = tuple(scalars)
             index = np.asarray(selected_indices)
             for k1, full in groups.items():
                 # numpy fancy indexing (unlike h5py's) also admits
@@ -244,6 +246,13 @@ class EVESequencesBase:
                     if 'left_eye_patch' in subentry
                     else subentry['frame'].shape[0])
         for key, value in subentry.items():
+            # Scalar-derived labels (camera matrices, px/mm factors) are
+            # repeated constants, not per-frame data: the reference keeps
+            # the real values at every row incl. padding
+            # (eve_sequences.py scalar repeat) — truncating them here
+            # would zero-pad them back as singular zero matrices.
+            if key in scalar_keys:
+                continue
             if value.shape[0] > n_frames:
                 subentry[key] = value[:n_frames]
 

@@ -73,9 +73,23 @@ def _seek_enabled():
     return _seek_mode() != 'off'
 
 
-# Videos whose seek-decode matched the sequential scan under 'verify'.
+# (backend, path) pairs whose seek-decode matched the sequential scan
+# under 'verify'. Keyed per backend: cv2 frame-number seek and ffmpeg
+# input -ss are unrelated mechanisms that must be validated separately.
 _VERIFIED_SEEK_PATHS = set()
 _VERIFIED_SEEK_LOCK = threading.Lock()
+
+
+def _seek_verified(backend, path):
+    with _VERIFIED_SEEK_LOCK:
+        return (backend, path) in _VERIFIED_SEEK_PATHS
+
+
+def _mark_seek_verified(backend, path):
+    with _VERIFIED_SEEK_LOCK:
+        if len(_VERIFIED_SEEK_PATHS) > 4096:
+            _VERIFIED_SEEK_PATHS.clear()
+        _VERIFIED_SEEK_PATHS.add((backend, path))
 
 
 # np.loadtxt of the timestamps file profiled at ~5% of windowed-item cost
@@ -245,7 +259,62 @@ class VideoReader:
             frames = self._decode_cv2_checked()
         return timestamps, frames
 
+    def _empty_frames(self):
+        """(0, H, W, 3) with the REAL output dims: a zero-frame decode must
+        keep H/W so the dataset's zero-padding produces correctly-shaped
+        (just invalid) clips that still stack into a batch."""
+        if self.output_size is not None:
+            width, height = self.output_size
+        else:
+            width, height = self._probe_size()
+        return np.zeros((0, height, width, 3), np.uint8)
+
     # -- cv2 backend --------------------------------------------------
+
+    def _cv2_wanted_frames(self, use_seek):
+        """Yield (index, RGB frame) for each wanted frame, in stream order.
+
+        The single cv2 decode loop shared by the sync reader and the
+        streaming AsyncVideoReader: fast seek to the first wanted frame,
+        ``grab()`` (decode-only) across gaps, BGR->RGB + resize only for
+        wanted frames, early stop past the last wanted index or at EOF.
+        """
+        assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
+        cap = cv2.VideoCapture(self.video_path)
+        assert cap.isOpened(), self.video_path
+        wanted = (None if self.frame_indices is None
+                  else set(self.frame_indices))
+        index = 0
+        last_wanted = None
+        if wanted is not None:
+            first_wanted = min(wanted)
+            last_wanted = max(wanted)
+            if first_wanted > 0 and use_seek:
+                if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
+                    index = first_wanted
+        try:
+            while True:
+                if wanted is not None and index not in wanted:
+                    # Decode-only skip: no BGR->RGB convert, no frame copy.
+                    if not cap.grab():
+                        return
+                    index += 1
+                    if index > last_wanted:
+                        return
+                    continue
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if self.output_size is not None:
+                    frame = cv2.resize(frame, tuple(self.output_size),
+                                       interpolation=cv2.INTER_LINEAR)
+                yield index, frame
+                index += 1
+                if last_wanted is not None and index > last_wanted:
+                    return
+        finally:
+            cap.release()
 
     def _decode_cv2_checked(self):
         """Dispatch on the EVE_VIDEO_SEEK mode (see ``_seek_mode``)."""
@@ -253,77 +322,33 @@ class VideoReader:
         if mode == 'off':
             return self._decode_cv2(use_seek=False)
         if mode == 'verify' and self.frame_indices and \
-                min(self.frame_indices) > 0:
-            with _VERIFIED_SEEK_LOCK:
-                verified = self.video_path in _VERIFIED_SEEK_PATHS
-            if not verified:
-                seeked = self._decode_cv2(use_seek=True)
-                scanned = self._decode_cv2(use_seek=False)
-                if seeked.shape != scanned.shape or \
-                        not np.array_equal(seeked, scanned):
-                    raise RuntimeError(
-                        'EVE_VIDEO_SEEK=verify: seek-decode of %s does not '
-                        'match the sequential scan — this codec/OpenCV '
-                        'build has non-exact frame seeking; run with '
-                        'EVE_VIDEO_SEEK=0' % self.video_path)
-                with _VERIFIED_SEEK_LOCK:
-                    if len(_VERIFIED_SEEK_PATHS) > 4096:
-                        _VERIFIED_SEEK_PATHS.clear()
-                    _VERIFIED_SEEK_PATHS.add(self.video_path)
-                return seeked
+                min(self.frame_indices) > 0 and \
+                not _seek_verified('cv2', self.video_path):
+            seeked = self._decode_cv2(use_seek=True)
+            scanned = self._decode_cv2(use_seek=False)
+            if seeked.shape != scanned.shape or \
+                    not np.array_equal(seeked, scanned):
+                raise RuntimeError(
+                    'EVE_VIDEO_SEEK=verify: seek-decode of %s does not '
+                    'match the sequential scan — this codec/OpenCV '
+                    'build has non-exact frame seeking; run with '
+                    'EVE_VIDEO_SEEK=0' % self.video_path)
+            _mark_seek_verified('cv2', self.video_path)
+            return seeked
         return self._decode_cv2(use_seek=True)
 
     def _decode_cv2(self, use_seek=True):
-        assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
         if self.frame_indices is not None and len(self.frame_indices) == 0:
-            return np.zeros((0, 0, 0, 3), np.uint8)
-        cap = cv2.VideoCapture(self.video_path)
-        assert cap.isOpened(), self.video_path
-        wanted = (None if self.frame_indices is None
-                  else set(self.frame_indices))
-        frames_by_index = {}
-        sequential = []
-        index = 0
-        if wanted is not None:
-            first_wanted = min(wanted)
-            last_wanted = max(wanted)
-            if first_wanted > 0 and use_seek:
-                if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
-                    index = first_wanted
-        else:
-            last_wanted = None
-        while True:
-            if wanted is not None and index not in wanted:
-                # Decode-only skip: no BGR->RGB convert, no frame copy.
-                ok = cap.grab()
-                if not ok:
-                    break
-                index += 1
-                if index > last_wanted:
-                    break
-                continue
-            ok, frame = cap.read()
-            if not ok:
-                break
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            if self.output_size is not None:
-                frame = cv2.resize(frame, tuple(self.output_size),
-                                   interpolation=cv2.INTER_LINEAR)
-            if wanted is None:
-                sequential.append(frame)
-            else:
-                frames_by_index[index] = frame
-            index += 1
-            if last_wanted is not None and index > last_wanted:
-                break
-        cap.release()
-        if wanted is None:
-            return np.stack(sequential) if sequential else \
-                np.zeros((0, 0, 0, 3), np.uint8)
+            return self._empty_frames()
+        if self.frame_indices is None:
+            sequential = [f for _, f in self._cv2_wanted_frames(use_seek)]
+            return (np.stack(sequential) if sequential
+                    else self._empty_frames())
+        frames_by_index = dict(self._cv2_wanted_frames(use_seek))
         # Frame order follows the requested index list (duplicates allowed).
         got = [frames_by_index[i] for i in self.frame_indices
                if i in frames_by_index]
-        return np.stack(got) if got else np.zeros((0, 0, 0, 3), np.uint8)
+        return np.stack(got) if got else self._empty_frames()
 
     # -- ffmpeg backend ------------------------------------------------
 
@@ -341,21 +366,58 @@ class VideoReader:
         return size
 
     def _decode_ffmpeg(self):
+        """Seek-mode dispatch for ffmpeg, mirroring ``_decode_cv2_checked``:
+        'verify' cross-checks the first seek-decode of each video against
+        the no-seek pipe (input ``-ss`` exactness is container-dependent),
+        then trusts seeks for that video."""
+        mode = _seek_mode()
+        if mode == 'off':
+            return self._decode_ffmpeg_once(seek=False)
+        if mode == 'verify' and self.frame_indices and \
+                min(self.frame_indices) > 0 and \
+                not _seek_verified('ffmpeg', self.video_path):
+            seeked = self._decode_ffmpeg_once(seek=True)
+            scanned = self._decode_ffmpeg_once(seek=False)
+            if seeked.shape != scanned.shape or \
+                    not np.array_equal(seeked, scanned):
+                raise RuntimeError(
+                    'EVE_VIDEO_SEEK=verify: ffmpeg seek-decode of %s does '
+                    'not match the sequential pipe — input -ss is not '
+                    'frame-exact for this container; run with '
+                    'EVE_VIDEO_SEEK=0' % self.video_path)
+            _mark_seek_verified('ffmpeg', self.video_path)
+            return seeked
+        return self._decode_ffmpeg_once(seek=True)
+
+    def _decode_ffmpeg_once(self, seek):
         if self.frame_indices is not None and len(self.frame_indices) == 0:
-            return np.zeros((0, 0, 0, 3), np.uint8)
+            return self._empty_frames()
         if self.output_size is not None:
             width, height = self.output_size
         else:
             width, height = self._probe_size()
+        # The select filter emits each matching frame ONCE, in stream
+        # order; decode sorted-unique indices and remap below so the
+        # public contract (request order, duplicates allowed) holds for
+        # this backend exactly as it does for cv2.
+        stream_order = (None if self.frame_indices is None
+                        else sorted(set(self.frame_indices)))
         fps = (_probe_cfr_fps_cached(self.video_path)
-               if self.frame_indices and min(self.frame_indices) > 0
-               and _seek_enabled() else None)
-        cmd = ffmpeg_pipe_cmd(self.video_path, self.frame_indices,
-                              self.output_size, fps,
-                              seek=_seek_enabled())
+               if seek and stream_order and stream_order[0] > 0 else None)
+        cmd = ffmpeg_pipe_cmd(self.video_path, stream_order,
+                              self.output_size, fps, seek=seek)
         raw = subprocess.run(cmd, stdout=subprocess.PIPE,
                              check=True).stdout
-        return np.frombuffer(raw, np.uint8).reshape(-1, height, width, 3)
+        frames = np.frombuffer(raw, np.uint8).reshape(
+            -1, height, width, 3)
+        if stream_order is None:
+            return frames
+        # A truncated stream yields a prefix of stream_order's frames.
+        position = {f: i for i, f in
+                    enumerate(stream_order[:frames.shape[0]])}
+        got = [frames[position[i]] for i in self.frame_indices
+               if i in position]
+        return np.stack(got) if got else self._empty_frames()
 
 
 class AsyncVideoReader:
@@ -413,17 +475,26 @@ class AsyncVideoReader:
         else:
             yield from self._iter_cv2(selected_ts)
 
+    def _seek_allowed(self, backend):
+        """Streaming iterators cannot cross-check themselves; under
+        'verify' they seek only for videos the sync reader already
+        verified for this backend, else they scan."""
+        mode = _seek_mode()
+        if mode == 'verify':
+            return _seek_verified(backend, self.reader.video_path)
+        return mode == 'on'
+
     def _iter_ffmpeg(self, selected_ts):
         if self.output_size is not None:
             width, height = self.output_size
         else:
             width, height = self.reader._probe_size()
+        seek = self._seek_allowed('ffmpeg')
         fps = (_probe_cfr_fps_cached(self.reader.video_path)
-               if self.frame_indices and min(self.frame_indices) > 0
-               and _seek_enabled() else None)
+               if seek and self.frame_indices
+               and min(self.frame_indices) > 0 else None)
         cmd = ffmpeg_pipe_cmd(self.reader.video_path, self.frame_indices,
-                              self.output_size, fps,
-                              seek=_seek_enabled())
+                              self.output_size, fps, seek=seek)
         frame_bytes = width * height * 3
         self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
         try:
@@ -437,40 +508,13 @@ class AsyncVideoReader:
             self.close()
 
     def _iter_cv2(self, selected_ts):
-        assert cv2 is not None, 'OpenCV unavailable and no ffmpeg binary'
-        wanted = (None if self.frame_indices is None
-                  else set(self.frame_indices))
-        cap = cv2.VideoCapture(self.reader.video_path)
-        index = 0
+        # Same shared decode loop as the sync reader; frame_indices are
+        # strictly increasing (enforced in __init__), so stream order IS
+        # request order and pairs off against selected_ts directly.
         emitted = 0
-        mode = _seek_mode()
-        if mode == 'verify':
-            # The streaming iterator cannot cross-check itself; seek only
-            # for videos the sync reader already verified, else scan.
-            with _VERIFIED_SEEK_LOCK:
-                seek_ok = self.reader.video_path in _VERIFIED_SEEK_PATHS
-        else:
-            seek_ok = mode == 'on'
-        if wanted and min(wanted) > 0 and seek_ok:
-            first_wanted = min(wanted)
-            if cap.set(cv2.CAP_PROP_POS_FRAMES, first_wanted):
-                index = first_wanted
-        try:
-            while emitted < len(selected_ts):
-                if wanted is not None and index not in wanted:
-                    if not cap.grab():
-                        return
-                    index += 1
-                    continue
-                ok, frame = cap.read()
-                if not ok:
-                    return
-                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                if self.output_size is not None:
-                    frame = cv2.resize(frame, tuple(self.output_size),
-                                       interpolation=cv2.INTER_LINEAR)
-                yield selected_ts[emitted], frame
-                emitted += 1
-                index += 1
-        finally:
-            cap.release()
+        for _, frame in self.reader._cv2_wanted_frames(
+                use_seek=self._seek_allowed('cv2')):
+            if emitted >= len(selected_ts):
+                return
+            yield selected_ts[emitted], frame
+            emitted += 1

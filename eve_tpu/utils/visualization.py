@@ -106,10 +106,14 @@ class VideoEncoder:
                 self._writer = cv2.VideoWriter(
                     self.output_path, cv2.VideoWriter_fourcc(*'mp4v'),
                     self.fps, self._size)
+        # copy=False: callers already pass uint8; a plain astype would
+        # memcpy every frame of the encode hot loop for nothing.
+        frame_u8 = np.ascontiguousarray(frame_bgr.astype(np.uint8,
+                                                         copy=False))
         if self._proc is not None:
-            self._proc.stdin.write(frame_bgr.astype(np.uint8).tobytes())
+            self._proc.stdin.write(frame_u8.tobytes())
         else:
-            self._writer.write(frame_bgr.astype(np.uint8))
+            self._writer.write(frame_u8)
 
     def close(self):
         if self._proc is not None:

@@ -601,8 +601,7 @@ def test_seek_verify_mode(fingerprint_video, monkeypatch):
     _, frames = VideoReader(
         fingerprint_video, frame_indices=indices).get_frames()
     assert [_fingerprint(f) for f in frames] == indices
-    with video_lib._VERIFIED_SEEK_LOCK:
-        assert fingerprint_video in video_lib._VERIFIED_SEEK_PATHS
+    assert video_lib._seek_verified('cv2', fingerprint_video)
 
     # Simulate a codec whose seek lands wrong: corrupt the seek-decode.
     with video_lib._VERIFIED_SEEK_LOCK:
@@ -619,5 +618,158 @@ def test_seek_verify_mode(fingerprint_video, monkeypatch):
     monkeypatch.setattr(video_lib.VideoReader, '_decode_cv2', corrupted)
     with pytest.raises(RuntimeError, match='does not match'):
         VideoReader(fingerprint_video, frame_indices=indices).get_frames()
+    assert not video_lib._seek_verified('cv2', fingerprint_video)
+
+
+def test_empty_decode_keeps_frame_dims(fingerprint_video, monkeypatch):
+    """Zero-frame decodes must return (0, H, W, 3) with REAL dims so the
+    dataset's zero-padding yields correctly-shaped clips that still stack
+    into a batch (a (T, 0, 0, 3) clip would crash collate)."""
+    monkeypatch.setenv('EVE_VIDEO_SEEK', '1')
+    _, frames = VideoReader(fingerprint_video, frame_indices=[250, 260],
+                            output_size=(64, 48)).get_frames()
+    assert frames.shape == (0, 48, 64, 3)
+    _, frames = VideoReader(fingerprint_video,
+                            frame_indices=[250, 260]).get_frames()
+    assert frames.shape == (0, 72, 128, 3)  # probed native size
+    _, frames = VideoReader(fingerprint_video,
+                            frame_indices=[]).get_frames()
+    assert frames.shape == (0, 72, 128, 3)
+
+
+def test_windowed_truncated_video_keeps_batch_shape(dataset_root, config,
+                                                    tmp_path):
+    """WINDOWED (training) items over a truncated video: windows fully
+    beyond the decodable range still produce full-shape zero-validity
+    clips, and scalar-derived labels (camera matrices) keep their real
+    repeated values in padded rows (reference parity: the reference's pad
+    loop never touches full-length repeated scalars)."""
+    import shutil
+
+    import cv2
+
+    root = tmp_path / 'trunc_windowed'
+    shutil.copytree(dataset_root, root)
+    folder = next((root / 'train01').glob('step*image*'))
+    for name in ('webcam_c_eyes.mp4', 'webcam_c.128x72.mp4'):
+        video = str(folder / name)
+        if not os.path.exists(video):
+            continue
+        cap = cv2.VideoCapture(video)
+        frames = []
+        for _ in range(12):
+            ok, frame = cap.read()
+            assert ok
+            frames.append(frame)
+        cap.release()
+        h, w = frames[0].shape[:2]
+        cut = str(folder / 'cut.mp4')
+        writer = cv2.VideoWriter(cut, cv2.VideoWriter_fourcc(*'mp4v'),
+                                 30.0, (w, h))
+        for frame in frames:
+            writer.write(frame)
+        writer.release()
+        os.replace(cut, video)
+
+    ds = EVESequencesBase(
+        str(root), config=config, participants_to_use=['train01'],
+        cameras_to_use=['webcam_c'], types_of_stimuli=['image'],
+        cache_dir=str(tmp_path / 'segcache_tw'))
+    saw_fully_truncated = False
+    items = [ds[i] for i in range(len(ds))]
+    for item in items:
+        assert item['left_eye_patch'].shape[0] == config.max_sequence_len
+        if not bool(item['left_o_validity'].any()):
+            saw_fully_truncated = True
+        # Scalar-derived labels stay real (non-zero) at every row.
+        assert np.abs(item['camera_transformation']).sum(axis=(1, 2)).min() > 0
+    assert saw_fully_truncated, \
+        'no fully-truncated window; the test would be vacuous'
+    # And the items still stack into a batch.
+    from eve_tpu.data.loader import collate
+    batch = collate(items)
+    assert batch['left_eye_patch'].shape[0] == len(items)
+
+
+def _fake_ffmpeg_reader(monkeypatch, frames_by_cmd):
+    """Install a VideoReader with backend='ffmpeg' whose subprocess pipe is
+    simulated: frames_by_cmd(cmd) -> list of per-frame fill values (1x2
+    RGB frames). No ffmpeg binary exists on this host, so the remap and
+    verify logic is pinned against a mock pipe."""
+    from eve_tpu.data import video as video_lib
+
+    class FakeCompleted:
+        def __init__(self, stdout):
+            self.stdout = stdout
+
+    def fake_run(cmd, stdout=None, check=False):
+        values = frames_by_cmd(cmd)
+        raw = b''.join(bytes([v]) * 6 for v in values)  # 1x2x3 per frame
+        return FakeCompleted(raw)
+
+    monkeypatch.setattr(video_lib, '_FFMPEG', '/usr/bin/ffmpeg')
+    monkeypatch.setattr(video_lib.subprocess, 'run', fake_run)
+    monkeypatch.setattr(video_lib, '_probe_cfr_fps_cached',
+                        lambda path: 30.0)
+    return video_lib
+
+
+def test_ffmpeg_decode_honors_request_order(fingerprint_video, monkeypatch):
+    """The ffmpeg backend's select filter emits each frame once in stream
+    order; the reader must remap to the requested order with duplicates —
+    the same contract the cv2 backend honors."""
+    def frames_for(cmd):
+        vf = cmd[cmd.index('-vf') + 1]
+        # extract the select indices in stream order
+        import re
+        idx = [int(m) for m in re.findall(r'eq\(n,(\d+)\)', vf)]
+        assert idx == sorted(set(idx)), 'must request sorted-unique'
+        return [i % 251 for i in idx]
+
+    _fake_ffmpeg_reader(monkeypatch, frames_for)
+    monkeypatch.setenv('EVE_VIDEO_SEEK', '0')
+    reader = VideoReader(fingerprint_video,
+                         frame_indices=[120, 110, 120, 115],
+                         output_size=(2, 1), backend='ffmpeg')
+    _, frames = reader.get_frames()
+    assert frames.shape == (4, 1, 2, 3)
+    assert [int(f[0, 0, 0]) for f in frames] == [120, 110, 120, 115]
+
+
+def test_ffmpeg_verify_mode_cross_checks(fingerprint_video, monkeypatch):
+    """EVE_VIDEO_SEEK=verify must cover the ffmpeg backend too: a seek
+    pipe that disagrees with the sequential pipe raises; agreement marks
+    the video verified (per backend)."""
+    from eve_tpu.data import video as video_lib
+
+    def consistent(cmd):
+        import re
+        vf = cmd[cmd.index('-vf') + 1]
+        idx = [int(m) for m in re.findall(r'eq\(n,(\d+)\)', vf)]
+        if '-ss' in cmd:  # rebased: recover absolute via the seek target
+            base = int(round(float(cmd[cmd.index('-ss') + 1]) * 30.0 + 0.5))
+            idx = [i + base for i in idx]
+        return [i % 251 for i in idx]
+
+    def broken(cmd):
+        good = consistent(cmd)
+        if '-ss' in cmd:
+            return [(v + 1) % 251 for v in good]  # off-by-one seek
+        return good
+
+    monkeypatch.setenv('EVE_VIDEO_SEEK', 'verify')
     with video_lib._VERIFIED_SEEK_LOCK:
-        assert fingerprint_video not in video_lib._VERIFIED_SEEK_PATHS
+        video_lib._VERIFIED_SEEK_PATHS.clear()
+
+    _fake_ffmpeg_reader(monkeypatch, broken)
+    with pytest.raises(RuntimeError, match='not frame-exact'):
+        VideoReader(fingerprint_video, frame_indices=[150, 153],
+                    output_size=(2, 1), backend='ffmpeg').get_frames()
+
+    _fake_ffmpeg_reader(monkeypatch, consistent)
+    _, frames = VideoReader(fingerprint_video, frame_indices=[150, 153],
+                            output_size=(2, 1),
+                            backend='ffmpeg').get_frames()
+    assert [int(f[0, 0, 0]) for f in frames] == [150, 153]
+    assert video_lib._seek_verified('ffmpeg', fingerprint_video)
+    assert not video_lib._seek_verified('cv2', fingerprint_video)
