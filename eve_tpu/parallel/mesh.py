@@ -5,8 +5,12 @@ no torch.distributed — SURVEY.md section 2.3/2.4). The TPU-native equivalent
 scales by sharding the clip batch over a 1-D ``data`` mesh axis under
 ``jax.jit`` (GSPMD): gradients are all-reduced by XLA collectives over ICI,
 parameters and optimizer state stay replicated. EVE's models are ~11M
-parameters, so data parallelism is the correct (and sufficient) strategy;
-the mesh helper accepts extra axes for future tensor/sequence sharding.
+parameters, so data parallelism is the correct (and sufficient) strategy.
+Two further axes are implemented and parity-tested rather than merely
+plumbed: ``seq`` (temporal sharding of the recurrences,
+eve_tpu/parallel/temporal.py) and ``model`` (tensor parallelism —
+``shard_model_tree`` places output-feature dims of large kernels and their
+Adam moments over the axis; GSPMD inserts the resharding collectives).
 
 Multi-host: ``jax.distributed.initialize`` + per-host slicing of the clip
 list (``local_data_slice``) + ``is_primary_process`` gating for
@@ -101,6 +105,41 @@ def replicate(mesh, tree):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def model_sharding_spec(x, n, axis_name='model', min_size=4096):
+    """PartitionSpec sharding a tensor's OUTPUT-feature (last) dim.
+
+    The tensor-parallel placement rule (SURVEY.md section 2.3's plumbed
+    ``model`` axis): conv kernels are HWIO and dense kernels (in, out),
+    so splitting the LAST dim shards output features — each output
+    element is still computed entirely on one device (no contraction-dim
+    partial sums, hence bit-stable reduction order) and GSPMD inserts the
+    collectives where a following layer needs resharding. Leaves smaller
+    than ``min_size`` elements or with a last dim not divisible by the
+    axis stay replicated (EVE's models are ~11M params; TP is a
+    capability demonstration here, not a memory necessity —
+    tests/test_parallel.py pins 3D dp x tp x sp parity).
+    """
+    if x.ndim >= 1 and x.shape[-1] % n == 0 and x.size >= min_size:
+        return P(*([None] * (x.ndim - 1) + [axis_name]))
+    return P()
+
+
+def shard_model_tree(mesh, tree, axis_name='model', min_size=4096):
+    """Place params (or the shape-congruent optimizer moments) with large
+    last dims sharded over ``axis_name``, everything else replicated.
+
+    The rule is shape-based, so applying it to ``opt_state`` gives Adam's
+    mu/nu exactly their parameter's placement (scalars/counts replicate).
+    """
+    n = mesh.shape[axis_name]
+
+    def put(x):
+        spec = model_sharding_spec(x, n, axis_name, min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def is_primary_process():
