@@ -13,7 +13,9 @@ import argparse
 import hashlib
 import logging
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -361,6 +363,35 @@ def step_modulo(current, interval_size):
     return current % interval_size == (interval_size - 1)
 
 
+# Preemption handling (SURVEY.md section 5.3: the reference's only recovery
+# is restart + --resume-from, losing up to checkpoints_save_every_n_steps-1
+# steps; TPU VMs are preemptible, so losing work to SIGTERM is routine).
+# The flag is checked once per training step: on SIGTERM the loop saves a
+# checkpoint at the CURRENT step and exits with code 143 (128+SIGTERM), so
+# a restarted run resumes exactly where the signal landed.
+_PREEMPTION = threading.Event()
+
+
+def request_preemption_checkpoint(signum=None, frame=None):
+    """Signal-handler-compatible: ask the main loop to checkpoint + exit."""
+    _PREEMPTION.set()
+
+
+def _install_preemption_handler():
+    """Install the SIGTERM handler when it is safe and polite to do so.
+
+    Only from the main thread (signal.signal raises elsewhere) and only
+    when SIGTERM is still at its default disposition — an embedding
+    application's own handler is never replaced (it can call
+    ``request_preemption_checkpoint`` itself).
+    """
+    _PREEMPTION.clear()
+    if threading.current_thread() is not threading.main_thread():
+        return
+    if signal.getsignal(signal.SIGTERM) == signal.SIG_DFL:
+        signal.signal(signal.SIGTERM, request_preemption_checkpoint)
+
+
 def main_loop_iterator(exp, train_data, test_data):
     """Generator over training steps; yields (step, metrics, images).
 
@@ -425,6 +456,7 @@ def main_loop_iterator(exp, train_data, test_data):
             logger.error('NaN encountered during training; aborting.')
             cleanup_and_quit(exp, train_data, test_data, exit_code=1)
 
+    _install_preemption_handler()
     profiling = False
     # exp.last_step mutates every iteration; anchor the profiler window to
     # the loop's start so start/stop actually trigger (steps +5 .. +10,
@@ -491,6 +523,21 @@ def main_loop_iterator(exp, train_data, test_data):
                     images = compose_training_images(
                         img_out, screen_size=tuple(config.screen_size))
             yield current_step, metrics, images
+
+            if _PREEMPTION.is_set():
+                # SIGTERM (preemption) landed during this step: persist the
+                # exact step and exit 143 so the supervisor distinguishes
+                # "interrupted, resumable" from success (0) / NaN abort (1).
+                # Every process exits; only the primary writes.
+                abort_if_nan(metrics)  # never persist NaN parameters
+                if mesh_lib.is_primary_process():
+                    exp.checkpoint_manager.save_at_step(
+                        current_step + 1, exp.state)
+                logger.warning(
+                    'Preemption signal received: checkpoint saved at step '
+                    '%d; resume with --resume-from %s',
+                    current_step + 1, exp.output_dir)
+                cleanup_and_quit(exp, train_data, test_data, exit_code=143)
 
             # The three logging intervals and the NaN watchdog are independent
             # (nesting them under the console-log gate would silently disable

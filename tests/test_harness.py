@@ -124,6 +124,81 @@ def test_resume_from_checkpoint(dataset_root, config):
     assert exp2.last_step == len(first_steps)
 
 
+def test_preemption_sigterm_checkpoints_and_exits(dataset_root, config):
+    """SIGTERM mid-training saves the CURRENT step and exits 143.
+
+    The reference's only recovery is restart + --resume-from the last
+    periodic checkpoint (SURVEY.md section 5.3), losing up to
+    checkpoints_save_every_n_steps-1 steps; on preemptible TPU VMs the
+    harness instead checkpoints at the signal and a restarted run resumes
+    exactly there (no step re-executed, none lost).
+    """
+    import signal as signal_mod
+
+    config.import_dict({'datasrc_eve': dataset_root,
+                        # periodic saves/tests out of the picture: any
+                        # checkpoint present comes from the preemption path
+                        'checkpoints_save_every_n_steps': 1000,
+                        'test_every_n_steps': 1000,
+                        # >2 total steps so the resumed run has work left
+                        # after the step-2 preemption checkpoint
+                        'num_epochs': 4.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+
+    executed = []
+    with pytest.raises(SystemExit) as excinfo:
+        for current_step, metrics, _ in harness.main_loop_iterator(
+                exp, train_data, test_data):
+            executed.append(current_step)
+            if current_step == 1:
+                # Real signal delivery: the OS-level SIGTERM runs the
+                # installed handler, which flags the loop.
+                os.kill(os.getpid(), signal_mod.SIGTERM)
+    assert excinfo.value.code == 143
+    assert executed == [0, 1]
+
+    ckpt_dir = os.path.join(exp.output_dir, 'checkpoints')
+    assert sorted(os.listdir(ckpt_dir)) == ['0000002.ckpt'], (
+        'expected exactly the preemption checkpoint at step 2')
+
+    # A restarted run resumes from the preemption step: steps 0 and 1 are
+    # NOT re-executed.
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+    cfg2 = harness.script_init_common(argv=[])
+    cfg2.import_dict(dict(
+        {k: v for k, v in config.get_all_key_values().items()
+         if not isinstance(getattr(DefaultConfig, k, None), property)
+         and hasattr(DefaultConfig, k)}), strict=False)
+    cfg2.override('resume_from', exp.output_dir)
+    exp2 = harness.Experiment(cfg2, output_dir_base='./outputs')
+    train_data2, test_data2 = harness.init_datasets(
+        cfg2, train_specs, val_specs)
+    resumed = [s for s, _, _ in harness.main_loop_iterator(
+        exp2, train_data2, test_data2)]
+    assert resumed and min(resumed) == 2, resumed
+
+
+def test_preemption_handler_respects_existing_disposition():
+    """A non-default SIGTERM handler (an embedding app's) is never replaced."""
+    import signal as signal_mod
+
+    sentinel = lambda *a: None
+    old = signal_mod.signal(signal_mod.SIGTERM, sentinel)
+    try:
+        harness._install_preemption_handler()
+        assert signal_mod.getsignal(signal_mod.SIGTERM) is sentinel
+        assert not harness._PREEMPTION.is_set()
+    finally:
+        signal_mod.signal(signal_mod.SIGTERM, old)
+
+
 def test_pretrained_bootstrap_in_training(dataset_root, config, tmp_path,
                                           monkeypatch):
     """eye_net_load_pretrained must seed training from the release weights.
