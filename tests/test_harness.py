@@ -124,6 +124,58 @@ def test_resume_from_checkpoint(dataset_root, config):
     assert exp2.last_step == len(first_steps)
 
 
+def test_elastic_resume_across_mesh_sizes(dataset_root, config):
+    """A checkpoint saved under one mesh size resumes under another.
+
+    Elastic recovery (SURVEY.md section 5.3): checkpoints are host numpy
+    (mesh-agnostic), and Experiment re-places loaded state onto whatever
+    mesh the restarted run builds. Here the fresh run trains with a
+    2-device data mesh (per-step batch 2 on 8 virtual devices) and the
+    resumed run grows the batch to 3 — a 3-device mesh (deliberately an
+    odd, non-power-of-two size) — so the restore path must reshard, not
+    merely reload. (Batch 3 also exactly divides the 3-window fixture
+    dataset; batch 4 would yield zero drop_last batches.)
+    """
+    config.import_dict({'datasrc_eve': dataset_root, 'num_epochs': 4.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    assert len(exp.mesh.devices.flatten()) == 2
+    first_steps = [s for s, _, _ in harness.main_loop_iterator(
+        exp, train_data, test_data)]
+    assert first_steps, 'fresh run executed no steps'
+    first_run_dir = exp.output_dir
+
+    DefaultConfig._reset_instance_for_testing()
+    Tensorboard._reset_for_testing()
+    cfg2 = harness.script_init_common(argv=[])
+    cfg2.import_dict(dict(
+        {k: v for k, v in config.get_all_key_values().items()
+         if not isinstance(getattr(DefaultConfig, k, None), property)
+         and hasattr(DefaultConfig, k)}), strict=False)
+    cfg2.import_dict({'resume_from': first_run_dir, 'batch_size': 3,
+                      'num_epochs': 8.0})
+    exp2 = harness.Experiment(cfg2, output_dir_base='./outputs')
+    assert len(exp2.mesh.devices.flatten()) == 3
+    train_data2, test_data2 = harness.init_datasets(
+        cfg2, train_specs, val_specs)
+    resumed = []
+    for current_step, metrics, _ in harness.main_loop_iterator(
+            exp2, train_data2, test_data2):
+        resumed.append(current_step)
+        assert np.isfinite(float(metrics['full_loss']))
+        if len(resumed) >= 2:
+            break
+    # Restored at the checkpointed step (nothing re-executed) and the
+    # reshard onto the larger mesh actually trains.
+    assert resumed and min(resumed) == len(first_steps), (resumed,
+                                                          first_steps)
+
+
 def test_preemption_sigterm_checkpoints_and_exits(dataset_root, config):
     """SIGTERM mid-training saves the CURRENT step and exits 143.
 
