@@ -204,6 +204,23 @@ class DefaultConfig(object):
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
 
+    # Tensor parallelism: size of the 'model' mesh axis. Parameters with
+    # large output-feature dims (and their Adam moments) shard over it
+    # (eve_tpu/parallel/mesh.py:shard_model_tree); GSPMD inserts the
+    # resharding collectives. 1 = off. EVE's ~11M params fit one chip, so
+    # this is a scale-out capability, not a memory necessity
+    # (tests/test_parallel.py pins 3D dp x tp x sp parity).
+    tpu_model_parallelism = 1
+
+    # Sequence parallelism: size of the 'seq' mesh axis. The temporal
+    # recurrences run as a distributed scan with the carry hopping
+    # between shards over ICI (eve_tpu/parallel/temporal.py); the batched
+    # CNN stages shard over the same axis for free. Use when batch*T
+    # exceeds per-chip HBM (long clips): the recurrence itself gets
+    # SLOWER under sharding (BASELINE.md "Temporal-sharding overhead").
+    # Must divide max_sequence_len. 1 = off.
+    tpu_sequence_shards = 1
+
     # Multi-host: initialize the JAX distributed runtime at script start
     # (jax.distributed.initialize). On TPU pods the coordinator/world
     # size/rank auto-detect — leave the fields below empty; set them

@@ -269,18 +269,48 @@ class Experiment:
         # batch_size / accumulation clips (keying on config.batch_size here
         # would silently push every training step into device_put_batch's
         # replicated single-device fallback). Fall back to the largest
-        # divisor.
+        # divisor. The 'model' (tensor-parallel) and 'seq' (temporal
+        # sharding) axes claim their devices first; the data axis divides
+        # what remains.
         step_batch = config.batch_size // max(
             int(config.gradient_accumulation_steps), 1)
         n_avail = (config.tpu_num_devices if config.tpu_num_devices > 0
                    else len(jax.devices()))
-        n_use = max(d for d in range(1, n_avail + 1)
+        mp = max(int(config.tpu_model_parallelism), 1)
+        sp = max(int(config.tpu_sequence_shards), 1)
+        if mp * sp > n_avail:
+            raise ValueError(
+                'tpu_model_parallelism=%d x tpu_sequence_shards=%d needs '
+                '%d devices, have %d' % (mp, sp, mp * sp, n_avail))
+        if config.max_sequence_len % sp != 0:
+            raise ValueError(
+                'tpu_sequence_shards=%d must divide max_sequence_len=%d '
+                '(the distributed scan splits the T axis evenly)'
+                % (sp, config.max_sequence_len))
+        data_avail = n_avail // (mp * sp)
+        n_use = max(d for d in range(1, data_avail + 1)
                     if step_batch % d == 0)
-        if n_use != n_avail:
+        if n_use != data_avail:
             logger.warning(
-                'per-step batch %d not divisible by %d devices; using a '
-                '%d-device data mesh.', step_batch, n_avail, n_use)
-        self.mesh = mesh_lib.make_mesh(n_use)
+                'per-step batch %d not divisible by the %d devices left '
+                'for the data axis (%d total / model=%d / seq=%d); using '
+                'a %d-wide data axis.', step_batch, data_avail, n_avail,
+                mp, sp, n_use)
+        if mp == 1 and sp == 1:
+            self.mesh = mesh_lib.make_mesh(n_use)
+        else:
+            axes = {'data': n_use}
+            if mp > 1:
+                axes['model'] = mp
+            if sp > 1:
+                axes['seq'] = sp
+            self.mesh = mesh_lib.make_mesh_nd(axes)
+            logger.info('mesh axes: %s', dict(self.mesh.shape))
+        # seq_mesh applies to the TRAIN step only: eval runs data-parallel
+        # (its ragged final batches fall back to replicated placement,
+        # which the distributed scan's batch-divisibility check rejects,
+        # and eval holds no optimizer/gradient memory to shard away).
+        self.seq_mesh = self.mesh if sp > 1 else None
         self.gsheet_logger = GoogleSheetLogger(config, identifier)
         self.checkpoint_manager = CheckpointManager(
             output_dir, keep_n=config.checkpoints_keep_n)
@@ -319,10 +349,29 @@ class Experiment:
                 self.last_step = int(multihost_utils.broadcast_one_to_all(
                     jax.numpy.asarray(self.last_step)))
         if len(self.mesh.devices.flatten()) > 1:
-            self.state = self.state.replace(
-                params=mesh_lib.replicate(self.mesh, self.state.params),
-                opt_state=mesh_lib.replicate(self.mesh, self.state.opt_state))
-        self.train_step = step_lib.make_train_step(self.spec, self.tx)
+            if 'model' in self.mesh.axis_names:
+                # Tensor parallelism: large output-feature dims (and the
+                # shape-congruent Adam moments) shard over 'model';
+                # everything else replicates (shard_model_tree handles
+                # both). Multi-host TP checkpointing would need a
+                # cross-host gather on save — not wired; fail loudly.
+                if jax.process_count() > 1:
+                    raise NotImplementedError(
+                        'tpu_model_parallelism > 1 with tpu_multihost: '
+                        'checkpoint save would need a cross-host gather '
+                        'of model-sharded parameters')
+                self.state = self.state.replace(
+                    params=mesh_lib.shard_model_tree(
+                        self.mesh, self.state.params),
+                    opt_state=mesh_lib.shard_model_tree(
+                        self.mesh, self.state.opt_state))
+            else:
+                self.state = self.state.replace(
+                    params=mesh_lib.replicate(self.mesh, self.state.params),
+                    opt_state=mesh_lib.replicate(self.mesh,
+                                                 self.state.opt_state))
+        self.train_step = step_lib.make_train_step(self.spec, self.tx,
+                                                   seq_mesh=self.seq_mesh)
         self.eval_step = step_lib.make_eval_step(self.spec)
         if cfg.profile_dir:
             # Dump the model graph (jaxpr + HLO) alongside profile traces.
@@ -353,7 +402,10 @@ class Experiment:
                     sharding, np.asarray(x)), device_batch)
         if n > 1:
             batch_dim = next(iter(device_batch.values())).shape[0]
-            if batch_dim % n == 0:
+            # Clips split over the DATA axis only (model/seq axes see the
+            # whole batch), so divisibility keys on that axis's extent.
+            data_extent = dict(self.mesh.shape).get('data', n)
+            if batch_dim % data_extent == 0:
                 return mesh_lib.shard_batch(self.mesh, device_batch)
             # Ragged final eval batches: run replicated on one device.
         return jax.device_put(device_batch)
@@ -380,16 +432,72 @@ def request_preemption_checkpoint(signum=None, frame=None):
 def _install_preemption_handler():
     """Install the SIGTERM handler when it is safe and polite to do so.
 
-    Only from the main thread (signal.signal raises elsewhere) and only
-    when SIGTERM is still at its default disposition — an embedding
-    application's own handler is never replaced (it can call
-    ``request_preemption_checkpoint`` itself).
+    Only from the main thread (signal.signal raises elsewhere). A default
+    (SIG_DFL) or ignored (SIG_IGN) disposition is replaced — SIG_IGN is
+    almost always accidentally inherited from a daemon-style launcher, and
+    honoring it would silently void the no-steps-lost guarantee. An
+    embedding application's own custom handler is never replaced (it can
+    call ``request_preemption_checkpoint`` itself); that case is logged so
+    the operator knows preemption checkpointing is not armed.
     """
     _PREEMPTION.clear()
     if threading.current_thread() is not threading.main_thread():
+        logger.info('not on the main thread; preemption checkpointing on '
+                    'SIGTERM is not armed')
         return
-    if signal.getsignal(signal.SIGTERM) == signal.SIG_DFL:
+    current = signal.getsignal(signal.SIGTERM)
+    if current in (signal.SIG_DFL, signal.SIG_IGN):
         signal.signal(signal.SIGTERM, request_preemption_checkpoint)
+        if current == signal.SIG_IGN:
+            logger.warning('SIGTERM was inherited as SIG_IGN; replaced '
+                           'with the preemption-checkpoint handler')
+    elif current is not request_preemption_checkpoint:
+        logger.info('SIGTERM already has a custom handler; preemption '
+                    'checkpointing is not armed (the handler may call '
+                    'request_preemption_checkpoint itself)')
+
+
+def _preemption_agreed():
+    """Whether to act on preemption NOW — agreed across hosts.
+
+    Single-process: the local flag. Multi-host: hosts can observe SIGTERM
+    around different step boundaries, and a host exiting one step before
+    its peers would leave them hanging in the next step's collectives —
+    so each check point runs a tiny allgather and ANY host's flag preempts
+    all of them at the same boundary. (The per-step cost is one scalar
+    collective, on par with the NaN watchdog's existing per-step fetch.)
+    """
+    if jax.process_count() == 1:
+        return _PREEMPTION.is_set()
+    from jax.experimental import multihost_utils
+    local = np.float32(1.0 if _PREEMPTION.is_set() else 0.0)
+    agreed = float(multihost_utils.process_allgather(local).max()) > 0.0
+    if agreed:
+        _PREEMPTION.set()  # hosts whose signal is still in flight adopt it
+    return agreed
+
+
+def _exit_for_preemption(exp, train_data, test_data):
+    """Checkpoint + exit 143 after an agreed preemption.
+
+    Reached once per training step AND once per eval batch, so preemption
+    during live validation or the final full test also terminates
+    promptly instead of being silently swallowed until SIGKILL.
+    ``exp.last_step`` counts completed steps, matching the periodic
+    saves' numbering; saving is atomic (tmp+rename), so re-saving a step
+    that already has a checkpoint is harmless.
+    """
+    if mesh_lib.is_primary_process() and hasattr(exp, 'state'):
+        exp.checkpoint_manager.save_at_step(exp.last_step + 1, exp.state)
+        logger.warning(
+            'Preemption signal received: checkpoint saved at step %d; '
+            'resume with --resume-from %s', exp.last_step + 1,
+            exp.output_dir)
+    else:
+        logger.warning(
+            'Preemption signal received: exiting (the primary process '
+            'writes the checkpoint)')
+    cleanup_and_quit(exp, train_data, test_data, exit_code=143)
 
 
 def main_loop_iterator(exp, train_data, test_data):
@@ -427,7 +535,8 @@ def main_loop_iterator(exp, train_data, test_data):
     exp.build_training(updates_per_epoch)
     if multi_source:
         exp.train_step = step_lib.make_multi_source_train_step(
-            exp.spec, exp.tx, tags=sorted(train_data))
+            exp.spec, exp.tx, tags=sorted(train_data),
+            seq_mesh=exp.seq_mesh)
 
     rng = jax.random.PRNGKey(training_seed(config))
     iterators = {}
@@ -524,20 +633,15 @@ def main_loop_iterator(exp, train_data, test_data):
                         img_out, screen_size=tuple(config.screen_size))
             yield current_step, metrics, images
 
-            if _PREEMPTION.is_set():
+            if _preemption_agreed():
                 # SIGTERM (preemption) landed during this step: persist the
                 # exact step and exit 143 so the supervisor distinguishes
                 # "interrupted, resumable" from success (0) / NaN abort (1).
                 # Every process exits; only the primary writes.
                 abort_if_nan(metrics)  # never persist NaN parameters
-                if mesh_lib.is_primary_process():
-                    exp.checkpoint_manager.save_at_step(
-                        current_step + 1, exp.state)
-                logger.warning(
-                    'Preemption signal received: checkpoint saved at step '
-                    '%d; resume with --resume-from %s',
-                    current_step + 1, exp.output_dir)
-                cleanup_and_quit(exp, train_data, test_data, exit_code=143)
+                exp.last_epoch = current_epoch
+                exp.last_step = current_step
+                _exit_for_preemption(exp, train_data, test_data)
 
             # The three logging intervals and the NaN watchdog are independent
             # (nesting them under the console-log gate would silently disable
@@ -628,6 +732,12 @@ def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
             len(data_dict['dataset'])
         totals = {}
         for batch in loader:
+            # Preemption can land during live validation or the final
+            # full test (minutes-long); exit promptly with the resumable
+            # code instead of ignoring SIGTERM until the platform's
+            # SIGKILL (train steps completed so far are already saved).
+            if _preemption_agreed():
+                _exit_for_preemption(exp, None, test_data)
             # Shard eval batches over the mesh like training batches
             # (device_put_batch falls back to replicated placement for
             # ragged final batches that don't divide the device count).

@@ -251,6 +251,98 @@ def test_preemption_handler_respects_existing_disposition():
         signal_mod.signal(signal_mod.SIGTERM, old)
 
 
+def test_preemption_handler_replaces_sig_ign():
+    """SIG_IGN (inherited from daemon-style launchers) IS replaced.
+
+    Honoring an accidentally inherited SIG_IGN would silently void the
+    no-steps-lost guarantee: the preemption SIGTERM would be ignored
+    outright and the run killed at SIGKILL with nothing saved.
+    """
+    import signal as signal_mod
+
+    old = signal_mod.signal(signal_mod.SIGTERM, signal_mod.SIG_IGN)
+    try:
+        harness._install_preemption_handler()
+        assert signal_mod.getsignal(signal_mod.SIGTERM) is \
+            harness.request_preemption_checkpoint
+    finally:
+        signal_mod.signal(signal_mod.SIGTERM, old)
+
+
+def test_preemption_during_final_test_exits_143(dataset_root, config):
+    """SIGTERM during the (minutes-long) final full test still exits 143.
+
+    Without the per-eval-batch check the flag would be set but never
+    read once the training loop has ended — the process would ignore
+    SIGTERM and keep evaluating until the platform's SIGKILL.
+    """
+    config.import_dict({'datasrc_eve': dataset_root})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    steps = [s for s, _, _ in harness.main_loop_iterator(
+        exp, train_data, test_data)]
+    assert steps, 'training executed no steps'
+    try:
+        harness.request_preemption_checkpoint()  # as the signal handler
+        with pytest.raises(SystemExit) as excinfo:
+            harness.do_final_full_test(exp, test_data)
+        assert excinfo.value.code == 143
+    finally:
+        harness._PREEMPTION.clear()
+
+
+def test_model_and_sequence_parallel_from_config(dataset_root, config):
+    """tpu_model_parallelism / tpu_sequence_shards drive train.py itself.
+
+    The 3D mesh (data x model x seq) is plain config — the same harness
+    builds the mesh, places params/Adam moments over the model axis, and
+    runs the distributed temporal scan; step-level parity of this layout
+    is pinned in tests/test_parallel.py. Here: the production loop
+    trains, live-validates (data-parallel eval against model-sharded
+    params, incl. the ragged replicated fallback), and checkpoints.
+    """
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'tpu_model_parallelism': 2,
+                        'tpu_sequence_shards': 2})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    assert dict(exp.mesh.shape) == {'data': 2, 'model': 2, 'seq': 2}
+
+    steps = []
+    for current_step, metrics, _ in harness.main_loop_iterator(
+            exp, train_data, test_data):
+        steps.append(current_step)
+        assert np.isfinite(float(metrics['full_loss']))
+    assert len(steps) >= 2
+
+    import jax
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(exp.state.params)
+        if 'model' in str(leaf.sharding.spec))
+    assert n_sharded > 0, 'no parameter leaf is model-axis sharded'
+    ckpt_dir = os.path.join(exp.output_dir, 'checkpoints')
+    assert any(n.endswith('.ckpt') for n in os.listdir(ckpt_dir))
+    # Eval with model-sharded params over the full (ragged-tail) test set.
+    harness.do_final_full_test(exp, test_data)
+
+
+def test_sequence_shards_must_divide_sequence_len(dataset_root, config):
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'tpu_sequence_shards': 4})  # max_sequence_len=6
+    with pytest.raises(ValueError, match='must divide max_sequence_len'):
+        harness.Experiment(config, output_dir_base='./outputs')
+
+
 def test_pretrained_bootstrap_in_training(dataset_root, config, tmp_path,
                                           monkeypatch):
     """eye_net_load_pretrained must seed training from the release weights.
