@@ -282,6 +282,14 @@ class Experiment:
             raise ValueError(
                 'tpu_model_parallelism=%d x tpu_sequence_shards=%d needs '
                 '%d devices, have %d' % (mp, sp, mp * sp, n_avail))
+        if n_avail % (mp * sp) != 0:
+            # Flooring here would silently idle devices the user paid for
+            # (e.g. 8 devices with model=3 would use 6 and strand 2).
+            raise ValueError(
+                'tpu_model_parallelism=%d x tpu_sequence_shards=%d must '
+                'divide the %d available devices (a non-divisor would '
+                'leave %d devices idle)'
+                % (mp, sp, n_avail, n_avail % (mp * sp)))
         if config.max_sequence_len % sp != 0:
             raise ValueError(
                 'tpu_sequence_shards=%d must divide max_sequence_len=%d '
@@ -365,6 +373,23 @@ class Experiment:
                         self.mesh, self.state.params),
                     opt_state=mesh_lib.shard_model_tree(
                         self.mesh, self.state.opt_state))
+                n_sharded = sum(
+                    1 for leaf in jax.tree_util.tree_leaves(
+                        self.state.params)
+                    if 'model' in str(leaf.sharding.spec))
+                if n_sharded == 0:
+                    # Devices are reserved for the model axis but every
+                    # leaf stayed replicated (last dims not divisible by
+                    # the axis, or all below min_size) — the user asked
+                    # for TP and is silently not getting it.
+                    logger.warning(
+                        'tpu_model_parallelism=%d sharded ZERO parameter '
+                        'leaves (no last dim divisible/large enough); the '
+                        'model axis only costs devices',
+                        self.mesh.shape['model'])
+                else:
+                    logger.info('model axis shards %d parameter leaves',
+                                n_sharded)
             else:
                 self.state = self.state.replace(
                     params=mesh_lib.replicate(self.mesh, self.state.params),
@@ -439,8 +464,12 @@ def _install_preemption_handler():
     embedding application's own custom handler is never replaced (it can
     call ``request_preemption_checkpoint`` itself); that case is logged so
     the operator knows preemption checkpointing is not armed.
+
+    ``_PREEMPTION`` is deliberately NOT cleared here: a preemption notice
+    that arrives while datasets/Experiment are still being built (before
+    the loop reaches this installer) must survive installation — clearing
+    would discard it and train on until SIGKILL with nothing saved.
     """
-    _PREEMPTION.clear()
     if threading.current_thread() is not threading.main_thread():
         logger.info('not on the main thread; preemption checkpointing on '
                     'SIGTERM is not armed')
@@ -457,18 +486,31 @@ def _install_preemption_handler():
                     'request_preemption_checkpoint itself)')
 
 
-def _preemption_agreed():
+# Multi-host preemption agreement runs every N steps / eval batches, not
+# every one: the allgather BLOCKS the host, and a per-step barrier would
+# defeat async dispatch (steps are otherwise fetched only at log/checkpoint
+# intervals). Platforms send the preemption notice tens of seconds before
+# SIGKILL, so an up-to-8-step agreement delay is immaterial.
+_PREEMPTION_SYNC = 8
+
+
+def _preemption_agreed(sync=True):
     """Whether to act on preemption NOW — agreed across hosts.
 
-    Single-process: the local flag. Multi-host: hosts can observe SIGTERM
-    around different step boundaries, and a host exiting one step before
-    its peers would leave them hanging in the next step's collectives —
-    so each check point runs a tiny allgather and ANY host's flag preempts
-    all of them at the same boundary. (The per-step cost is one scalar
-    collective, on par with the NaN watchdog's existing per-step fetch.)
+    Single-process: the local flag (checking it is free, so ``sync`` is
+    ignored). Multi-host: hosts can observe SIGTERM around different step
+    boundaries, and a host exiting one step before its peers would leave
+    them hanging in the next step's collectives — so agreement points run
+    a tiny allgather and ANY host's flag preempts all of them at the same
+    boundary. Callers pass ``sync=True`` only on a cadence that is a pure
+    function of the (host-identical) step/batch index, so every host
+    reaches the same agreement points; between them this returns False
+    even if the LOCAL flag is set (exiting unilaterally would hang peers).
     """
     if jax.process_count() == 1:
         return _PREEMPTION.is_set()
+    if not sync:
+        return False
     from jax.experimental import multihost_utils
     local = np.float32(1.0 if _PREEMPTION.is_set() else 0.0)
     agreed = float(multihost_utils.process_allgather(local).max()) > 0.0
@@ -497,6 +539,11 @@ def _exit_for_preemption(exp, train_data, test_data):
         logger.warning(
             'Preemption signal received: exiting (the primary process '
             'writes the checkpoint)')
+    # The request is honored HERE, so this is where the flag resets (not
+    # in _install_preemption_handler, which must preserve a notice that
+    # arrived during dataset/Experiment construction). Matters only for
+    # in-process restarts (tests, notebooks): production exits below.
+    _PREEMPTION.clear()
     cleanup_and_quit(exp, train_data, test_data, exit_code=143)
 
 
@@ -610,6 +657,14 @@ def main_loop_iterator(exp, train_data, test_data):
 
             rng, sub = jax.random.split(rng)
             exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
+            # exp.state now holds step current_step's update, so record it
+            # HERE, not at the end of the iteration: live validation (and
+            # its preemption exit) runs later in this same iteration, and a
+            # stale last_step would number the preemption checkpoint one
+            # step low — the resumed run would re-apply an optimizer update
+            # to post-update state.
+            exp.last_epoch = current_epoch
+            exp.last_step = current_step
 
             if profiling and current_step == profile_anchor + 10:
                 jax.profiler.stop_trace()
@@ -633,14 +688,12 @@ def main_loop_iterator(exp, train_data, test_data):
                         img_out, screen_size=tuple(config.screen_size))
             yield current_step, metrics, images
 
-            if _preemption_agreed():
+            if _preemption_agreed(sync=current_step % _PREEMPTION_SYNC == 0):
                 # SIGTERM (preemption) landed during this step: persist the
                 # exact step and exit 143 so the supervisor distinguishes
                 # "interrupted, resumable" from success (0) / NaN abort (1).
                 # Every process exits; only the primary writes.
                 abort_if_nan(metrics)  # never persist NaN parameters
-                exp.last_epoch = current_epoch
-                exp.last_step = current_step
                 _exit_for_preemption(exp, train_data, test_data)
 
             # The three logging intervals and the NaN watchdog are independent
@@ -705,9 +758,6 @@ def main_loop_iterator(exp, train_data, test_data):
                     for_gsheet['Step'] = current_step + 1
                     for_gsheet['Epoch'] = current_epoch
                     exp.gsheet_logger.update_or_append_row(for_gsheet)
-
-            exp.last_epoch = current_epoch
-            exp.last_step = current_step
     finally:
         # Stop an open trace on EVERY exit path - normal end, a run
         # shorter than the profile window, NaN abort (SystemExit from
@@ -731,12 +781,15 @@ def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
         num_entries = getattr(loader, 'num_entries', None) or \
             len(data_dict['dataset'])
         totals = {}
-        for batch in loader:
+        for batch_index, batch in enumerate(loader):
             # Preemption can land during live validation or the final
             # full test (minutes-long); exit promptly with the resumable
             # code instead of ignoring SIGTERM until the platform's
             # SIGKILL (train steps completed so far are already saved).
-            if _preemption_agreed():
+            # The agreement cadence keys on the batch index — identical
+            # on every host, so all hosts reach the same sync points.
+            if _preemption_agreed(
+                    sync=batch_index % _PREEMPTION_SYNC == 0):
                 _exit_for_preemption(exp, None, test_data)
             # Shard eval batches over the mesh like training batches
             # (device_put_batch falls back to replicated placement for

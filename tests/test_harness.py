@@ -269,6 +269,107 @@ def test_preemption_handler_replaces_sig_ign():
         signal_mod.signal(signal_mod.SIGTERM, old)
 
 
+def test_preemption_during_live_validation_numbers_checkpoint_correctly(
+        dataset_root, config):
+    """SIGTERM during MID-TRAINING live validation saves the right step.
+
+    Live validation runs inside the same loop iteration as the train step
+    it follows; the preemption checkpoint must be numbered current_step+1
+    (the update is already applied to exp.state). A stale last_step from
+    the previous iteration would number it one low, and the resumed run
+    would re-apply an optimizer update on post-update state.
+    """
+    config.import_dict({'datasrc_eve': dataset_root,
+                        # no periodic saves: any checkpoint present comes
+                        # from the preemption path
+                        'checkpoints_save_every_n_steps': 1000,
+                        'test_every_n_steps': 2,  # live-val after step 2
+                        'test_num_samples': 2,
+                        'test_batch_size': 1,  # >=2 eval batches
+                        'num_epochs': 4.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+
+    def arm_after_first_eval_batch():
+        # exp.eval_step exists only after build_training (first loop
+        # iteration), so this is called from the consumer loop below.
+        orig = exp.eval_step
+        calls = []
+
+        def wrapped(params, batch):
+            out = orig(params, batch)
+            calls.append(1)
+            if len(calls) == 1:  # as the signal handler, mid-validation
+                harness.request_preemption_checkpoint()
+            return out
+
+        exp.eval_step = wrapped
+
+    executed = []
+    try:
+        with pytest.raises(SystemExit) as excinfo:
+            for current_step, _, _ in harness.main_loop_iterator(
+                    exp, train_data, test_data):
+                if not executed:
+                    arm_after_first_eval_batch()
+                executed.append(current_step)
+        assert excinfo.value.code == 143
+        # test_every_n_steps=2 fires live-val inside step index 1's
+        # iteration; the flag lands between its eval batches.
+        assert executed == [0, 1]
+        ckpt_dir = os.path.join(exp.output_dir, 'checkpoints')
+        assert sorted(os.listdir(ckpt_dir)) == ['0000002.ckpt'], (
+            'preemption during live-val must checkpoint the COMPLETED '
+            'step (2), got %s' % os.listdir(ckpt_dir))
+    finally:
+        harness._PREEMPTION.clear()
+
+
+def test_model_seq_axes_must_divide_device_count(dataset_root, config):
+    """A model/seq factorization that strands devices is a loud error."""
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'tpu_model_parallelism': 3})  # 8 devices % 3 != 0
+    with pytest.raises(ValueError, match='divide the'):
+        harness.Experiment(config, output_dir_base='./outputs')
+
+
+def test_preemption_request_before_loop_survives_handler_install(
+        dataset_root, config):
+    """A preemption notice during dataset/Experiment build is honored.
+
+    An embedding application's handler can fire before main_loop_iterator
+    installs its own; installation must not clear the pending request, or
+    the run trains on until SIGKILL with nothing saved.
+    """
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'checkpoints_save_every_n_steps': 1000,
+                        'test_every_n_steps': 1000,
+                        'num_epochs': 4.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+    exp = harness.Experiment(config, output_dir_base='./outputs')
+    harness.request_preemption_checkpoint()  # before the loop exists
+    executed = []
+    try:
+        with pytest.raises(SystemExit) as excinfo:
+            for current_step, _, _ in harness.main_loop_iterator(
+                    exp, train_data, test_data):
+                executed.append(current_step)
+        assert excinfo.value.code == 143
+        assert executed == [0], 'should exit after the FIRST step'
+    finally:
+        harness._PREEMPTION.clear()
+
+
 def test_preemption_during_final_test_exits_143(dataset_root, config):
     """SIGTERM during the (minutes-long) final full test still exits 143.
 
