@@ -142,6 +142,32 @@ def shard_model_tree(mesh, tree, axis_name='model', min_size=4096):
     return jax.tree_util.tree_map(put, tree)
 
 
+def gather_to_host(tree):
+    """Host-numpy copy of a pytree, correct for cross-host sharded arrays.
+
+    Leaves that are neither fully addressable from this process nor fully
+    replicated (e.g. parameters sharded over a ``model`` axis spanning
+    hosts) are gathered to their full global value via
+    ``process_allgather`` — a COLLECTIVE: every process must call this,
+    even though only the primary writes the resulting checkpoint.
+    Everything else is a plain ``device_get`` (fully-replicated multi-host
+    arrays convert locally, no collective).
+    """
+    from jax.experimental import multihost_utils
+
+    def get(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            # tiled=True is required (and a no-op reshape) for global
+            # non-fully-addressable inputs: the result is the full global
+            # value, not a stack of per-process copies.
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(get, tree)
+
+
 def is_primary_process():
     return jax.process_index() == 0
 

@@ -361,13 +361,9 @@ class Experiment:
                 # Tensor parallelism: large output-feature dims (and the
                 # shape-congruent Adam moments) shard over 'model';
                 # everything else replicates (shard_model_tree handles
-                # both). Multi-host TP checkpointing would need a
-                # cross-host gather on save — not wired; fail loudly.
-                if jax.process_count() > 1:
-                    raise NotImplementedError(
-                        'tpu_model_parallelism > 1 with tpu_multihost: '
-                        'checkpoint save would need a cross-host gather '
-                        'of model-sharded parameters')
+                # both). Cross-host model sharding is checkpointable:
+                # save_checkpoint gathers via mesh_lib.gather_to_host on
+                # every process before the primary writes.
                 self.state = self.state.replace(
                     params=mesh_lib.shard_model_tree(
                         self.mesh, self.state.params),
@@ -519,6 +515,24 @@ def _preemption_agreed(sync=True):
     return agreed
 
 
+def save_checkpoint(exp, step):
+    """Checkpoint ``exp.state`` at ``step`` (multi-host correct).
+
+    The host fetch happens on EVERY process — for cross-host
+    model-sharded parameters it is a collective gather
+    (``mesh_lib.gather_to_host``), so gating the whole save behind
+    ``is_primary_process`` would deadlock the primary against peers that
+    never entered the collective. Only the primary then writes.
+    """
+    state = exp.state
+    if jax.process_count() > 1:
+        state = state.replace(
+            params=mesh_lib.gather_to_host(state.params),
+            opt_state=mesh_lib.gather_to_host(state.opt_state))
+    if mesh_lib.is_primary_process():
+        exp.checkpoint_manager.save_at_step(step, state)
+
+
 def _exit_for_preemption(exp, train_data, test_data):
     """Checkpoint + exit 143 after an agreed preemption.
 
@@ -529,16 +543,18 @@ def _exit_for_preemption(exp, train_data, test_data):
     saves' numbering; saving is atomic (tmp+rename), so re-saving a step
     that already has a checkpoint is harmless.
     """
-    if mesh_lib.is_primary_process() and hasattr(exp, 'state'):
-        exp.checkpoint_manager.save_at_step(exp.last_step + 1, exp.state)
+    if hasattr(exp, 'state'):
+        # All processes join the (possibly collective) host fetch — the
+        # preemption agreement already put them at the same boundary.
+        save_checkpoint(exp, exp.last_step + 1)
         logger.warning(
             'Preemption signal received: checkpoint saved at step %d; '
             'resume with --resume-from %s', exp.last_step + 1,
             exp.output_dir)
     else:
         logger.warning(
-            'Preemption signal received: exiting (the primary process '
-            'writes the checkpoint)')
+            'Preemption signal received: exiting (no training state '
+            'built yet, nothing to save)')
     # The request is honored HERE, so this is where the flag resets (not
     # in _install_preemption_handler, which must preserve a notice that
     # arrived during dataset/Experiment construction). Matters only for
@@ -746,9 +762,9 @@ def main_loop_iterator(exp, train_data, test_data):
 
             if step_modulo(current_step, config.checkpoints_save_every_n_steps):
                 abort_if_nan(metrics)  # never persist NaN parameters
-                if mesh_lib.is_primary_process():
-                    exp.checkpoint_manager.save_at_step(
-                        current_step + 1, exp.state)
+                # The save interval is a pure function of the step, so
+                # every host enters save_checkpoint's collective together.
+                save_checkpoint(exp, current_step + 1)
 
             if step_modulo(current_step, config.test_every_n_steps):
                 abort_if_nan(metrics)
@@ -767,10 +783,10 @@ def main_loop_iterator(exp, train_data, test_data):
             jax.profiler.stop_trace()
             profiling = False
 
-    if mesh_lib.is_primary_process() and hasattr(exp, 'state'):
+    if hasattr(exp, 'state'):
         # Same completed-step numbering as the periodic saves
         # (current_step + 1), so resume continues at the right step.
-        exp.checkpoint_manager.save_at_step(exp.last_step + 1, exp.state)
+        save_checkpoint(exp, exp.last_step + 1)
 
 
 def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):

@@ -58,6 +58,46 @@ cfg = DefaultConfig()
 cfg.import_dict({'fully_reproducible': False})
 harness._training_seed = None
 print('SEED %d %d' % (pid, harness.training_seed(cfg)))
+
+# Cross-host tensor-parallel checkpointing: a parameter sharded over a
+# 'model' axis spanning both hosts is NOT fully addressable from either,
+# so the host fetch must be a collective gather (mesh_lib.gather_to_host)
+# that every process joins before the primary writes.
+from types import SimpleNamespace
+from jax.experimental import multihost_utils
+from eve_tpu.train.checkpoint import CheckpointManager
+from eve_tpu.train.step import TrainState
+
+mesh2 = mesh_lib.make_mesh_nd({'data': 4, 'model': 2})
+w = jnp.arange(32.0, dtype=jnp.float32).reshape(4, 8)
+w_sharded = jax.device_put(w, NamedSharding(mesh2, P(None, 'model')))
+assert not w_sharded.is_fully_addressable
+hosted = mesh_lib.gather_to_host({'w': w_sharded})
+assert hosted['w'].shape == (4, 8)
+assert float(np.abs(hosted['w'] - np.asarray(w)).max()) == 0.0
+print('GATHER %d ok' % pid)
+
+state = TrainState(step=jnp.zeros((), jnp.int32),
+                   params={'eye_net': {'w': w_sharded}},
+                   opt_state={'mu': {'eye_net': {'w': w_sharded}}})
+ckpt_root = sys.argv[3]
+exp = SimpleNamespace(state=state,
+                      checkpoint_manager=CheckpointManager(ckpt_root),
+                      output_dir=ckpt_root)
+harness.save_checkpoint(exp, 7)  # collective fetch; primary-only write
+multihost_utils.sync_global_devices('ckpt_written')
+
+template = TrainState(step=jnp.zeros((), jnp.int32),
+                      params={'eye_net': {'w': jnp.zeros((4, 8))}},
+                      opt_state={'mu': {'eye_net': {'w': jnp.zeros((4, 8))}}})
+mgr = CheckpointManager(ckpt_root)
+loaded, step = mgr.load_last_checkpoint(template)
+assert step == 7, step
+assert float(np.abs(np.asarray(loaded.params['eye_net']['w'])
+                    - np.asarray(w)).max()) == 0.0
+assert float(np.abs(np.asarray(loaded.opt_state['mu']['eye_net']['w'])
+                    - np.asarray(w)).max()) == 0.0
+print('CKPT %d ok' % pid)
 """
 
 
@@ -75,8 +115,9 @@ def test_two_process_distributed_cpu(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
 
+    ckpt_root = tmp_path / 'ckpt'
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), addr, str(i)],
+        [sys.executable, str(worker), addr, str(i), str(ckpt_root)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for i in range(2)]
     outs = []
@@ -108,3 +149,11 @@ def test_two_process_distributed_cpu(tmp_path):
     # Broadcast training seed: identical on every host (both hosts draw
     # independent entropy; process 0's must win everywhere).
     assert field(0, 'SEED') == field(1, 'SEED')
+
+    # Cross-host model-sharded params: collective gather + checkpoint
+    # round-trip succeeded on both hosts (primary-only write, shared read).
+    for pid in (0, 1):
+        assert field(pid, 'GATHER') == 'ok'
+        assert field(pid, 'CKPT') == 'ok'
+    ckpts = list((tmp_path / 'ckpt' / 'checkpoints').iterdir())
+    assert [p.name for p in ckpts] == ['0000007.ckpt']
