@@ -283,6 +283,34 @@ def test_make_mesh_too_many_devices_raises():
         mesh_lib.make_mesh(num_devices=99)
 
 
+def test_gather_to_host_single_process():
+    """gather_to_host returns exact global numpy values for every layout.
+
+    Single-process arrays are always fully addressable, so this pins the
+    device_get path (model-sharded, batch-sharded, replicated, plain
+    numpy); the cross-host collective path is pinned by the REAL
+    2-process run in tests/test_multihost.py.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh_nd({'data': 2, 'model': 2})
+    w = jnp.arange(32.0, dtype=jnp.float32).reshape(4, 8)
+    tree = {
+        'model_sharded': jax.device_put(
+            w, NamedSharding(mesh, P(None, 'model'))),
+        'batch_sharded': jax.device_put(w, NamedSharding(mesh, P('data'))),
+        'replicated': jax.device_put(w, NamedSharding(mesh, P())),
+        'plain': np.asarray(w),
+        'scalar': jnp.float32(3.0),
+    }
+    hosted = mesh_lib.gather_to_host(tree)
+    for key, value in hosted.items():
+        assert isinstance(value, np.ndarray), key
+        if key != 'scalar':
+            np.testing.assert_array_equal(value, np.asarray(w), err_msg=key)
+    assert float(hosted['scalar']) == 3.0
+
+
 def test_sharded_scan_rejects_inconsistent_batch_leaves():
     """With batch_axis set, mixed batch sizes / rank-0 carries must raise:
     a silent fall-back to 'replicated' would let a carry that depends on
