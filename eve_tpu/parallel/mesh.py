@@ -142,7 +142,7 @@ def shard_model_tree(mesh, tree, axis_name='model', min_size=4096):
     return jax.tree_util.tree_map(put, tree)
 
 
-def gather_to_host(tree):
+def gather_to_host(tree, skip_local=False):
     """Host-numpy copy of a pytree, correct for cross-host sharded arrays.
 
     Leaves that are neither fully addressable from this process nor fully
@@ -151,7 +151,10 @@ def gather_to_host(tree):
     ``process_allgather`` — a COLLECTIVE: every process must call this,
     even though only the primary writes the resulting checkpoint.
     Everything else is a plain ``device_get`` (fully-replicated multi-host
-    arrays convert locally, no collective).
+    arrays convert locally, no collective) — unless ``skip_local``, which
+    returns such leaves UNCHANGED: non-primary processes only join the
+    collectives and skip the D2H copies whose result nobody reads (the
+    common all-replicated case then costs them nothing).
     """
     from jax.experimental import multihost_utils
 
@@ -163,6 +166,8 @@ def gather_to_host(tree):
             # value, not a stack of per-process copies.
             return np.asarray(multihost_utils.process_allgather(
                 x, tiled=True))
+        if skip_local:
+            return x
         return np.asarray(jax.device_get(x))
 
     return jax.tree_util.tree_map(get, tree)

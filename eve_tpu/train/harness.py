@@ -159,7 +159,15 @@ def init_datasets(config, train_specs, test_specs):
 
     Spec tuples: (tag, dataset_class, path, stimuli, cameras) — identical
     to the reference (src/train.py:35-41).
+
+    Arms the preemption SIGTERM handler FIRST: dataset + model build can
+    take minutes, and with SIG_DFL still in place a platform preemption
+    notice landing in that window would kill the process outright. The
+    flag it sets survives until the first step check honors it. (This is
+    train-path-only on purpose — inference/serving CLIs must keep normal
+    SIGTERM kill semantics.)
     """
+    _install_preemption_handler()
     train_data = {}
     accum = max(int(config.gradient_accumulation_steps), 1)
     assert config.batch_size % accum == 0, (
@@ -526,9 +534,16 @@ def save_checkpoint(exp, step):
     """
     state = exp.state
     if jax.process_count() > 1:
+        # Non-primaries join only the collective leaves; their plain
+        # replicated leaves stay on device (nobody reads them, and a full
+        # D2H of params + both Adam moments per save would stall dispatch
+        # on every host for the primary's benefit alone).
+        skip_local = not mesh_lib.is_primary_process()
         state = state.replace(
-            params=mesh_lib.gather_to_host(state.params),
-            opt_state=mesh_lib.gather_to_host(state.opt_state))
+            params=mesh_lib.gather_to_host(state.params,
+                                           skip_local=skip_local),
+            opt_state=mesh_lib.gather_to_host(state.opt_state,
+                                              skip_local=skip_local))
     if mesh_lib.is_primary_process():
         exp.checkpoint_manager.save_at_step(step, state)
 
@@ -555,11 +570,6 @@ def _exit_for_preemption(exp, train_data, test_data):
         logger.warning(
             'Preemption signal received: exiting (no training state '
             'built yet, nothing to save)')
-    # The request is honored HERE, so this is where the flag resets (not
-    # in _install_preemption_handler, which must preserve a notice that
-    # arrived during dataset/Experiment construction). Matters only for
-    # in-process restarts (tests, notebooks): production exits below.
-    _PREEMPTION.clear()
     cleanup_and_quit(exp, train_data, test_data, exit_code=143)
 
 
@@ -859,5 +869,9 @@ def do_final_full_test(exp, test_data):
 
 
 def cleanup_and_quit(exp, train_data, test_data, exit_code=0):
+    # A preemption request that was never (or just) honored must not leak
+    # into a later run in the same process (tests, notebooks) — it would
+    # spuriously exit that fresh run 143 at its first step check.
+    _PREEMPTION.clear()
     exp.tensorboard.close()
     sys.exit(exit_code)

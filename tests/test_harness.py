@@ -338,6 +338,43 @@ def test_model_seq_axes_must_divide_device_count(dataset_root, config):
         harness.Experiment(config, output_dir_base='./outputs')
 
 
+def test_init_datasets_arms_preemption_handler(dataset_root, config):
+    """The SIGTERM handler is armed BEFORE the slow dataset/model build.
+
+    With SIG_DFL still in place, a platform preemption notice landing in
+    the minutes-long build window would kill the process outright instead
+    of being honored at the first step check.
+    """
+    import signal as signal_mod
+
+    old = signal_mod.signal(signal_mod.SIGTERM, signal_mod.SIG_DFL)
+    try:
+        config.import_dict({'datasrc_eve': dataset_root})
+        harness.init_datasets(
+            config,
+            [('eve_train', harness.DATASET_CLASSES['train'],
+              dataset_root, ['image'], ['webcam_c'])],
+            [('eve_val', harness.DATASET_CLASSES['train'],
+              dataset_root, ['image'], ['webcam_c'])])
+        assert signal_mod.getsignal(signal_mod.SIGTERM) is \
+            harness.request_preemption_checkpoint
+    finally:
+        signal_mod.signal(signal_mod.SIGTERM, old)
+
+
+def test_cleanup_clears_stale_preemption_flag():
+    """Normal completion resets the flag so it cannot leak into a later
+    in-process run (which would spuriously exit 143 at its first step)."""
+    from types import SimpleNamespace
+
+    harness.request_preemption_checkpoint()  # landed too late to matter
+    exp = SimpleNamespace(tensorboard=SimpleNamespace(close=lambda: None))
+    with pytest.raises(SystemExit) as excinfo:
+        harness.cleanup_and_quit(exp, None, None, exit_code=0)
+    assert excinfo.value.code == 0
+    assert not harness._PREEMPTION.is_set()
+
+
 def test_preemption_request_before_loop_survives_handler_install(
         dataset_root, config):
     """A preemption notice during dataset/Experiment build is honored.

@@ -127,10 +127,13 @@ def test_two_process_distributed_cpu(tmp_path):
         outs.append(out)
 
     def field(pid, tag):
-        for line in outs[pid].splitlines():
-            if line.startswith(tag + ' %d ' % pid):
-                return line.split(' ', 2)[2]
-        raise AssertionError('%s missing for %d:\n%s' % (tag, pid, outs[pid]))
+        # Regex over the whole output, value = the next whitespace-free
+        # token: Gloo writes its own lines to stdout asynchronously and
+        # can interleave mid-line, so line-based parsing flakes.
+        import re
+        m = re.search(r'%s %d (\S+)' % (tag, pid), outs[pid])
+        assert m, '%s missing for %d:\n%s' % (tag, pid, outs[pid])
+        return m.group(1)
 
     # Equal-size per-host slices covering the clip list.
     s0 = [int(x) for x in field(0, 'SLICE').split(',')]
