@@ -71,6 +71,14 @@ class EngineOverloadedError(RuntimeError):
     instead of growing host memory without bound."""
 
 
+class EngineDrainingError(RuntimeError):
+    """The engine is draining for shutdown and accepts no new requests.
+
+    Raised by :meth:`ServingEngine.submit` after :meth:`ServingEngine.drain`
+    begins (e.g. on SIGTERM); already-accepted requests still complete. The
+    HTTP front-end maps this to 503 so load balancers route elsewhere."""
+
+
 @dataclass
 class _Request:
     inputs: Dict[str, np.ndarray]  # per-clip arrays, leading dim T
@@ -189,6 +197,10 @@ class ServingEngine:
             'errors': 0, 'sessions_opened': 0, 'rejected': 0, 'timed_out': 0,
         }
         self._stop = threading.Event()
+        self._draining = threading.Event()
+        # True whenever the batcher has no batch in flight; written only by
+        # the batcher thread, polled (with a timeout bound) by drain().
+        self._batch_idle = True
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='eve-serving-batcher')
         self._thread.start()
@@ -231,6 +243,12 @@ class ServingEngine:
         arrays (batch dim stripped). With a ``session_id``, recurrent state
         is carried from this session's previous chunk.
         """
+        # Draining outranks stopped: from SIGTERM until process exit the
+        # client signal should consistently be 503-route-elsewhere, even
+        # after the drain's final stop() lands.
+        if self._draining.is_set():
+            raise EngineDrainingError(
+                'serving engine is draining for shutdown')
         if self._stop.is_set():
             raise RuntimeError('serving engine stopped')
         session = None
@@ -282,6 +300,40 @@ class ServingEngine:
                     self._broken_sessions.add(session)
             raise
 
+    def drain(self, timeout=None):
+        """Graceful shutdown: reject new work, finish accepted work, stop.
+
+        Sets the draining flag (``submit`` raises
+        :class:`EngineDrainingError`; HTTP returns 503), waits until every
+        already-accepted request has resolved — queue empty, no deferred
+        chunks, no batch in flight — then calls :meth:`stop`. ``timeout``
+        (default ``request_timeout_s`` + the 120 s first-compile allowance)
+        bounds the wait; whatever is still unresolved then is failed by
+        ``stop``. Use on SIGTERM so in-flight clients get answers instead
+        of dropped connections.
+        """
+        self._draining.set()
+        if timeout is None:
+            timeout = self.request_timeout_s + 120.0
+        deadline = time.perf_counter() + timeout
+        stable = 0
+        while time.perf_counter() < deadline:
+            # _deferred is swapped atomically by the batcher and
+            # _batch_idle is set conservatively (only when the batcher is
+            # provably empty-handed); requiring the drained condition to
+            # hold across several consecutive polls closes the one-bytecode
+            # window between the batcher popping a request and clearing the
+            # idle flag.
+            if (self._queue.qsize() == 0 and not self._deferred
+                    and self._batch_idle):
+                stable += 1
+                if stable >= 5:
+                    break
+            else:
+                stable = 0
+            time.sleep(0.02)
+        self.stop()
+
     def stop(self):
         """Stop the batcher and promptly fail all pending requests."""
         self._stop.set()
@@ -309,6 +361,7 @@ class ServingEngine:
             out = dict(self.stats)
         out['queue_depth'] = self._queue.qsize()
         out['deferred'] = len(self._deferred)
+        out['draining'] = self._draining.is_set()
         with self._sessions_lock:
             out['sessions_open'] = len(self._sessions)
         return out
@@ -330,10 +383,16 @@ class ServingEngine:
                 try:
                     first = self._queue.get(timeout=0.05)
                 except queue.Empty:
+                    if not self._deferred:
+                        # Provably empty-handed: nothing accepted is
+                        # waiting on this thread (drain() polls this).
+                        self._batch_idle = True
                     continue
+                self._batch_idle = False
                 self._try_add(first, reqs, sessions_in_batch)
                 if not reqs:
                     continue
+            self._batch_idle = False
             deadline = time.perf_counter() + self.max_delay_s
             while len(reqs) < self.max_batch:
                 remaining = deadline - time.perf_counter()
@@ -674,6 +733,10 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                 self._json(404, {'error': 'not found'})
             except UnknownSessionError as e:
                 self._json(404, {'error': str(e)})
+            except EngineDrainingError as e:
+                # Shutting down: tell load balancers to route elsewhere.
+                self.close_connection = True
+                self._json(503, {'error': str(e)})
             except EngineOverloadedError as e:
                 self.send_response(429)
                 body = json.dumps({'error': str(e)}).encode()

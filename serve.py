@@ -55,6 +55,29 @@ def main(argv=None):
     logger.info('serving on http://%s:%d (max_batch=%d, max_delay=%.1fms)',
                 *server.server_address, engine.max_batch,
                 config.serve_max_delay_ms)
+
+    # Graceful SIGTERM (platform preemption / orchestrator stop): stop
+    # accepting (new requests get 503), let accepted requests finish, then
+    # exit cleanly — instead of dropping in-flight work mid-batch. The
+    # drain runs on a helper thread because server.shutdown() deadlocks if
+    # called from the thread inside serve_forever (the signal handler runs
+    # on the main thread, which is that thread).
+    import signal
+    import threading
+
+    def _drain_and_shutdown():
+        engine.drain()
+        server.shutdown()
+
+    def _on_sigterm(signum, frame):
+        logger.warning('SIGTERM: draining in-flight requests, then '
+                       'shutting down')
+        threading.Thread(target=_drain_and_shutdown, daemon=True,
+                         name='eve-serving-drain').start()
+
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, _on_sigterm)
+
     try:
         server.serve_forever()
     except KeyboardInterrupt:

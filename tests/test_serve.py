@@ -193,6 +193,56 @@ def test_stop_fails_pending_requests_promptly(spec, params):
     assert time_mod.monotonic() - t0 < 10
 
 
+def test_drain_completes_accepted_requests_then_rejects(spec, params):
+    """drain() = graceful SIGTERM shutdown: accepted requests RESOLVE with
+    results (not errors), new submissions get EngineDrainingError, stats
+    expose the draining flag, and the engine ends stopped."""
+    from eve_tpu.serve import EngineDrainingError
+
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=20.0)
+    try:
+        clips = _clips(21, 3)
+        futures = [engine.submit(c) for c in clips]
+        engine.drain(timeout=300.0)
+        for f in futures:
+            out = f.result(timeout=1)  # already resolved, with a RESULT
+            assert np.isfinite(np.asarray(out['PoG_px_final'])).all()
+        assert engine.get_stats()['draining'] is True
+        with pytest.raises(EngineDrainingError, match='draining'):
+            engine.submit(clips[0])
+    finally:
+        engine.stop()
+
+
+def test_http_returns_503_while_draining(spec, params):
+    """The HTTP front-end maps EngineDrainingError to 503 (route-elsewhere
+    signal), distinct from 429 overload."""
+    import http.client
+
+    from eve_tpu.serve import make_http_server
+
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    server = make_http_server(engine, host='127.0.0.1', port=0)
+    import threading
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        engine.drain(timeout=10.0)  # no pending work: drains immediately
+        [clip] = _clips(23, 1)
+        import io
+        buf = io.BytesIO()
+        np.savez(buf, **clip)
+        conn = http.client.HTTPConnection(*server.server_address, timeout=30)
+        conn.request('POST', '/v1/infer', body=buf.getvalue(),
+                     headers={'Content-Type': 'application/octet-stream'})
+        resp = conn.getresponse()
+        assert resp.status == 503, resp.status
+        assert b'draining' in resp.read()
+    finally:
+        server.shutdown()
+        engine.stop()
+
+
 def test_signature_limit(spec, params):
     """Beyond max_signatures distinct input shapes, requests fail fast
     instead of compiling unboundedly."""
