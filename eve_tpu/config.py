@@ -181,6 +181,15 @@ class DefaultConfig(object):
     checkpoints_keep_n = 3
     resume_from = ''
 
+    # Auto-resume: when set (and resume_from is not), training looks for
+    # the newest existing run directory with the SAME config hash (the
+    # .<md5[:6]> identifier suffix) that has checkpoints, and resumes it.
+    # This closes the preemption loop: SIGTERM -> checkpoint + exit 143 ->
+    # the supervisor restarts the job with identical argv -> the run
+    # continues where it left off. A changed config hashes differently and
+    # starts fresh (a different config is a different experiment).
+    auto_resume = False
+
     # Google Sheets related
     gsheet_secrets_json_file = ''
     gsheet_workbook_key = ''

@@ -235,6 +235,22 @@ def SubsetLoader(dataset, indices, batch_size, num_workers=0):
                       indices=indices)
 
 
+def _latest_resumable_run(family_dir, cfg_hash):
+    """Newest run dir named ``<ts>.<cfg_hash>`` that has checkpoints.
+
+    Timestamps are ``%y%m%d_%H%M%S``, so lexicographic order IS
+    chronological order. Directories without a saved checkpoint are
+    skipped: resuming one would silently restart from step 0 while
+    reusing its tensorboard/log files.
+    """
+    import glob as glob_mod
+    candidates = sorted(
+        d for d in glob_mod.glob(os.path.join(family_dir, '*.' + cfg_hash))
+        if os.path.isdir(d)
+        and glob_mod.glob(os.path.join(d, 'checkpoints', '*.ckpt')))
+    return candidates[-1] if candidates else None
+
+
 class Experiment:
     """Holds all run state: config, spec, mesh, train state, IO managers."""
 
@@ -242,10 +258,25 @@ class Experiment:
         self.config = config
         self.spec = eve_lib.EveSpec.from_config(config)
 
+        cfg_hash = hashlib.md5(
+            config.get_full_json().encode()).hexdigest()[:6]
         identifier = ('EVE' + config.identifier_suffix + '/' +
-                      time.strftime('%y%m%d_%H%M%S') + '.' +
-                      hashlib.md5(config.get_full_json().encode()
-                                  ).hexdigest()[:6])
+                      time.strftime('%y%m%d_%H%M%S') + '.' + cfg_hash)
+        if config.auto_resume and not config.resume_from:
+            # Preemption loop closure: a restarted job with identical argv
+            # hashes identically, finds its own previous run directory, and
+            # continues from the SIGTERM checkpoint (config.py:auto_resume).
+            # The hash is computed with resume_from still empty, so second
+            # and later restarts keep matching.
+            found = _latest_resumable_run(
+                os.path.join(output_dir_base,
+                             'EVE' + config.identifier_suffix), cfg_hash)
+            if found:
+                logger.info('auto_resume: continuing %s', found)
+                config.override('resume_from', found)
+            else:
+                logger.info('auto_resume: no prior run with config hash '
+                            '%s; starting fresh', cfg_hash)
         if config.resume_from:
             identifier = '/'.join(config.resume_from.split('/')[-2:])
             output_dir = config.resume_from

@@ -338,6 +338,39 @@ def test_model_seq_axes_must_divide_device_count(dataset_root, config):
         harness.Experiment(config, output_dir_base='./outputs')
 
 
+def test_auto_resume_finds_same_config_run(dataset_root, config):
+    """auto_resume closes the preemption loop: a restart with identical
+    argv (same config hash) resumes the newest checkpointed run; a changed
+    config starts fresh (different hash = different experiment)."""
+    config.import_dict({'datasrc_eve': dataset_root, 'auto_resume': True,
+                        'num_epochs': 4.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(
+        config, train_specs, val_specs)
+
+    exp1 = harness.Experiment(config, output_dir_base='./outputs')
+    assert not config.resume_from, 'nothing to resume on first launch'
+    steps1 = [s for s, _, _ in harness.main_loop_iterator(
+        exp1, train_data, test_data)]
+    assert steps1 and min(steps1) == 0
+
+    # "Restart with identical argv": same config -> same hash.
+    exp2 = harness.Experiment(config, output_dir_base='./outputs')
+    assert config.resume_from == exp1.output_dir
+    assert exp2.output_dir == exp1.output_dir
+    assert exp2.identifier == exp1.identifier
+
+    # A changed config must NOT adopt the old run.
+    config.override('resume_from', '')
+    config.override('num_epochs', 8.0)  # different hash
+    exp3 = harness.Experiment(config, output_dir_base='./outputs')
+    assert not config.resume_from
+    assert exp3.output_dir != exp1.output_dir
+
+
 def test_init_datasets_arms_preemption_handler(dataset_root, config):
     """The SIGTERM handler is armed BEFORE the slow dataset/model build.
 
