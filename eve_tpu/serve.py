@@ -682,7 +682,12 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
 
         def do_GET(self):
             if self.path == '/healthz':
-                self._json(200, {'status': 'ok'})
+                # 503 while draining so load balancers eject this backend
+                # before its in-flight work finishes (readiness semantics).
+                if engine._draining.is_set():
+                    self._json(503, {'status': 'draining'})
+                else:
+                    self._json(200, {'status': 'ok'})
             elif self.path == '/v1/stats':
                 self._json(200, engine.get_stats())
             else:

@@ -227,7 +227,23 @@ def test_http_returns_503_while_draining(spec, params):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     try:
+        import json as json_mod
+        conn0 = http.client.HTTPConnection(*server.server_address,
+                                           timeout=30)
+        conn0.request('GET', '/healthz')
+        r0 = conn0.getresponse()
+        assert r0.status == 200
+        assert json_mod.loads(r0.read())['status'] == 'ok'
+
         engine.drain(timeout=10.0)  # no pending work: drains immediately
+
+        conn0 = http.client.HTTPConnection(*server.server_address,
+                                           timeout=30)
+        conn0.request('GET', '/healthz')
+        r1 = conn0.getresponse()
+        assert r1.status == 503, 'draining backend must fail readiness'
+        assert json_mod.loads(r1.read())['status'] == 'draining'
+
         [clip] = _clips(23, 1)
         import io
         buf = io.BytesIO()
