@@ -173,6 +173,24 @@ def gather_to_host(tree, skip_local=False):
     return jax.tree_util.tree_map(get, tree)
 
 
+def broadcast_string(s, max_bytes=4096):
+    """Process 0's string, on every process (COLLECTIVE; all must call).
+
+    Used for host-identical run identity (run-dir path, identifier):
+    letting each host derive these independently diverges on host-local
+    filesystems or per-host clocks, and a later collective guarded by the
+    divergent value deadlocks.
+    """
+    from jax.experimental import multihost_utils
+    data = s.encode('utf-8')
+    if len(data) > max_bytes:
+        raise ValueError('string exceeds %d utf-8 bytes' % max_bytes)
+    buf = np.zeros(max_bytes, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b'\x00').decode('utf-8')
+
+
 def is_primary_process():
     return jax.process_index() == 0
 

@@ -235,6 +235,24 @@ def SubsetLoader(dataset, indices, batch_size, num_workers=0):
                       indices=indices)
 
 
+def _config_identity_hash(config):
+    """md5[:6] of the config, excluding keys that don't define the
+    EXPERIMENT: resume_from / auto_resume describe how this process was
+    launched (the reference's flow is restart-with---resume-from, so its
+    hash-stability never mattered; ours must match across 'same argv plus
+    --auto-resume yes', README), and the per-host distributed-wiring keys
+    differ between hosts of ONE run (explicit --tpu-process-id would give
+    every host a different hash).
+    """
+    import json as json_mod
+    values = json_mod.loads(config.get_full_json())
+    for key in ('resume_from', 'auto_resume',
+                'tpu_process_id', 'tpu_coordinator_address'):
+        values.pop(key, None)
+    return hashlib.md5(json_mod.dumps(
+        values, sort_keys=True).encode()).hexdigest()[:6]
+
+
 def _latest_resumable_run(family_dir, cfg_hash):
     """Newest run dir named ``<ts>.<cfg_hash>`` that has checkpoints.
 
@@ -258,19 +276,25 @@ class Experiment:
         self.config = config
         self.spec = eve_lib.EveSpec.from_config(config)
 
-        cfg_hash = hashlib.md5(
-            config.get_full_json().encode()).hexdigest()[:6]
+        cfg_hash = _config_identity_hash(config)
         identifier = ('EVE' + config.identifier_suffix + '/' +
                       time.strftime('%y%m%d_%H%M%S') + '.' + cfg_hash)
         if config.auto_resume and not config.resume_from:
             # Preemption loop closure: a restarted job with identical argv
             # hashes identically, finds its own previous run directory, and
             # continues from the SIGTERM checkpoint (config.py:auto_resume).
-            # The hash is computed with resume_from still empty, so second
-            # and later restarts keep matching.
-            found = _latest_resumable_run(
-                os.path.join(output_dir_base,
-                             'EVE' + config.identifier_suffix), cfg_hash)
+            # The DECISION is the primary's alone, broadcast to every host:
+            # checkpoints exist only on the primary's (possibly host-local)
+            # filesystem, and hosts deciding independently would diverge —
+            # the resume branch in build_training runs a collective, so a
+            # split decision deadlocks it.
+            found = None
+            if mesh_lib.is_primary_process():
+                found = _latest_resumable_run(
+                    os.path.join(output_dir_base,
+                                 'EVE' + config.identifier_suffix), cfg_hash)
+            if jax.process_count() > 1:
+                found = mesh_lib.broadcast_string(found or '') or None
             if found:
                 logger.info('auto_resume: continuing %s', found)
                 config.override('resume_from', found)
@@ -281,6 +305,11 @@ class Experiment:
             identifier = '/'.join(config.resume_from.split('/')[-2:])
             output_dir = config.resume_from
         else:
+            if jax.process_count() > 1:
+                # Host clocks can straddle a second boundary: take the
+                # primary's timestamped identifier everywhere so all hosts
+                # agree on the run's identity.
+                identifier = mesh_lib.broadcast_string(identifier)
             output_dir = os.path.join(output_dir_base, identifier)
         self.identifier = identifier
         self.output_dir = output_dir

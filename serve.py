@@ -77,6 +77,10 @@ def main(argv=None):
 
     if threading.current_thread() is threading.main_thread():
         signal.signal(signal.SIGTERM, _on_sigterm)
+    else:
+        logger.warning('not on the main thread; graceful SIGTERM drain is '
+                       'NOT armed (call engine.drain() + server.shutdown() '
+                       'from your own handler for graceful shutdown)')
 
     try:
         server.serve_forever()

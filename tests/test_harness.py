@@ -342,8 +342,7 @@ def test_auto_resume_finds_same_config_run(dataset_root, config):
     """auto_resume closes the preemption loop: a restart with identical
     argv (same config hash) resumes the newest checkpointed run; a changed
     config starts fresh (different hash = different experiment)."""
-    config.import_dict({'datasrc_eve': dataset_root, 'auto_resume': True,
-                        'num_epochs': 4.0})
+    config.import_dict({'datasrc_eve': dataset_root, 'num_epochs': 4.0})
     train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
                     dataset_root, ['image'], ['webcam_c'])]
     val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
@@ -351,13 +350,17 @@ def test_auto_resume_finds_same_config_run(dataset_root, config):
     train_data, test_data = harness.init_datasets(
         config, train_specs, val_specs)
 
+    # First launch WITHOUT the flag — the documented flow is "restart with
+    # the same argv PLUS --auto-resume yes", so the flag itself (and
+    # resume_from) must not participate in the identity hash.
     exp1 = harness.Experiment(config, output_dir_base='./outputs')
     assert not config.resume_from, 'nothing to resume on first launch'
     steps1 = [s for s, _, _ in harness.main_loop_iterator(
         exp1, train_data, test_data)]
     assert steps1 and min(steps1) == 0
 
-    # "Restart with identical argv": same config -> same hash.
+    # "Restart with identical argv plus --auto-resume yes".
+    config.override('auto_resume', True)
     exp2 = harness.Experiment(config, output_dir_base='./outputs')
     assert config.resume_from == exp1.output_dir
     assert exp2.output_dir == exp1.output_dir

@@ -23,6 +23,13 @@ import sys
 _WORKER = r"""
 import os, sys
 addr, pid = sys.argv[1], int(sys.argv[2])
+# Results go to a per-process FILE, not stdout: Gloo writes its own log
+# lines to the shared fd at arbitrary byte positions (even mid-token), so
+# any stdout parsing flakes under load.
+_results = []
+def emit(line):
+    _results.append(line)
+    print(line)
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
 import jax
@@ -37,7 +44,7 @@ assert len(jax.devices()) == 8, len(jax.devices())
 assert len(jax.local_devices()) == 4
 
 idx = mesh_lib.local_data_slice(10)
-print('SLICE %d %s' % (pid, ','.join(map(str, idx))))
+emit('SLICE %d %s' % (pid, ','.join(map(str, idx))))
 
 import numpy as np
 import jax.numpy as jnp
@@ -47,8 +54,8 @@ local = np.full((4, 2), float(pid + 1), np.float32)
 global_batch = jax.make_array_from_process_local_data(
     NamedSharding(mesh, P('data')), local, (8, 2))
 total = float(jax.jit(jnp.sum)(global_batch))
-print('SUM %d %.1f' % (pid, total))
-print('PRIMARY %d %d' % (pid, int(mesh_lib.is_primary_process())))
+emit('SUM %d %.1f' % (pid, total))
+emit('PRIMARY %d %d' % (pid, int(mesh_lib.is_primary_process())))
 
 # Non-reproducible training seed: every host must end up with process 0's
 # entropy draw (broadcast), never its own.
@@ -57,7 +64,13 @@ from eve_tpu.train import harness
 cfg = DefaultConfig()
 cfg.import_dict({'fully_reproducible': False})
 harness._training_seed = None
-print('SEED %d %d' % (pid, harness.training_seed(cfg)))
+emit('SEED %d %d' % (pid, harness.training_seed(cfg)))
+
+# Host-identical run identity: every host must adopt process 0's string
+# (auto-resume decision, timestamped identifier) — independent derivation
+# diverges on host-local filesystems / per-host clocks and deadlocks the
+# resume branch's collective.
+emit('BSTR %d %s' % (pid, mesh_lib.broadcast_string('run-%d' % pid)))
 
 # Cross-host tensor-parallel checkpointing: a parameter sharded over a
 # 'model' axis spanning both hosts is NOT fully addressable from either,
@@ -75,7 +88,7 @@ assert not w_sharded.is_fully_addressable
 hosted = mesh_lib.gather_to_host({'w': w_sharded})
 assert hosted['w'].shape == (4, 8)
 assert float(np.abs(hosted['w'] - np.asarray(w)).max()) == 0.0
-print('GATHER %d ok' % pid)
+emit('GATHER %d ok' % pid)
 
 state = TrainState(step=jnp.zeros((), jnp.int32),
                    params={'eye_net': {'w': w_sharded}},
@@ -97,7 +110,9 @@ assert float(np.abs(np.asarray(loaded.params['eye_net']['w'])
                     - np.asarray(w)).max()) == 0.0
 assert float(np.abs(np.asarray(loaded.opt_state['mu']['eye_net']['w'])
                     - np.asarray(w)).max()) == 0.0
-print('CKPT %d ok' % pid)
+emit('CKPT %d ok' % pid)
+with open(sys.argv[4], 'w') as f:
+    f.write('\n'.join(_results))
 """
 
 
@@ -116,24 +131,25 @@ def test_two_process_distributed_cpu(tmp_path):
     env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
 
     ckpt_root = tmp_path / 'ckpt'
+    result_paths = [tmp_path / ('results_%d.txt' % i) for i in range(2)]
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), addr, str(i), str(ckpt_root)],
+        [sys.executable, str(worker), addr, str(i), str(ckpt_root),
+         str(result_paths[i])],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for i in range(2)]
-    outs = []
     for p in procs:
         out, err = p.communicate(timeout=280)
         assert p.returncode == 0, 'worker failed:\n%s\n%s' % (out, err)
-        outs.append(out)
+    # Results come from per-process FILES, not stdout: Gloo writes its own
+    # log lines into the shared stdout fd at arbitrary byte positions
+    # (observed mid-token), so any stdout parsing flakes under load.
+    outs = [path.read_text() for path in result_paths]
 
     def field(pid, tag):
-        # Regex over the whole output, value = the next whitespace-free
-        # token: Gloo writes its own lines to stdout asynchronously and
-        # can interleave mid-line, so line-based parsing flakes.
-        import re
-        m = re.search(r'%s %d (\S+)' % (tag, pid), outs[pid])
-        assert m, '%s missing for %d:\n%s' % (tag, pid, outs[pid])
-        return m.group(1)
+        for line in outs[pid].splitlines():
+            if line.startswith(tag + ' %d ' % pid):
+                return line.split(' ', 2)[2]
+        raise AssertionError('%s missing for %d:\n%s' % (tag, pid, outs[pid]))
 
     # Equal-size per-host slices covering the clip list.
     s0 = [int(x) for x in field(0, 'SLICE').split(',')]
@@ -152,6 +168,10 @@ def test_two_process_distributed_cpu(tmp_path):
     # Broadcast training seed: identical on every host (both hosts draw
     # independent entropy; process 0's must win everywhere).
     assert field(0, 'SEED') == field(1, 'SEED')
+
+    # Process 0's string adopted everywhere.
+    assert field(0, 'BSTR') == 'run-0'
+    assert field(1, 'BSTR') == 'run-0'
 
     # Cross-host model-sharded params: collective gather + checkpoint
     # round-trip succeeded on both hosts (primary-only write, shared read).
