@@ -195,12 +195,17 @@ class ServingEngine:
         self.stats = {
             'requests': 0, 'batches': 0, 'batched_slots': 0,
             'errors': 0, 'sessions_opened': 0, 'rejected': 0, 'timed_out': 0,
+            'rejected_draining': 0,
         }
+        # Accepted-but-unresolved requests. Incremented BEFORE the queue
+        # put and decremented exactly once when the request's future
+        # resolves (every resolution goes through _resolve_request /
+        # _fail_request), so drain() observing 0 PROVES nothing accepted is
+        # pending — no window where a request is popped from the queue but
+        # not yet visible as in-flight.
+        self._inflight = 0
         self._stop = threading.Event()
         self._draining = threading.Event()
-        # True whenever the batcher has no batch in flight; written only by
-        # the batcher thread, polled (with a timeout bound) by drain().
-        self._batch_idle = True
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name='eve-serving-batcher')
         self._thread.start()
@@ -208,7 +213,17 @@ class ServingEngine:
     # ---------------- public API ----------------
 
     def open_session(self, session_id=None):
-        """Allocate fresh recurrent state; returns the session id."""
+        """Allocate fresh recurrent state; returns the session id.
+
+        Refused while draining/stopped: handing out a session on a dying
+        backend would invite clients to bind a stream that will never be
+        served (every subsequent infer on it gets 503)."""
+        if self._draining.is_set():
+            self._stat_inc('rejected_draining')
+            raise EngineDrainingError(
+                'serving engine is draining for shutdown; no new sessions')
+        if self._stop.is_set():
+            raise RuntimeError('serving engine stopped')
         if self._artifact is not None and not self._artifact.streaming:
             raise RuntimeError(
                 'sessions need recurrent state, but the serving artifact '
@@ -230,6 +245,24 @@ class ServingEngine:
         with self._stats_lock:
             self.stats[key] += n
 
+    def _resolve_request(self, r, result):
+        """Complete an accepted request (exactly-once in-flight release)."""
+        r.future.set_result(result)
+        with self._stats_lock:
+            self._inflight -= 1
+
+    def _fail_request(self, r, exc):
+        """Fail an accepted request; no-op if it already resolved.
+
+        Returns True when THIS call resolved the future (callers use that
+        to count errors without double-counting)."""
+        if r.future.done():
+            return False
+        r.future.set_exception(exc)
+        with self._stats_lock:
+            self._inflight -= 1
+        return True
+
     def close_session(self, session_id):
         with self._sessions_lock:
             session = self._sessions.pop(session_id, None)
@@ -247,6 +280,10 @@ class ServingEngine:
         # client signal should consistently be 503-route-elsewhere, even
         # after the drain's final stop() lands.
         if self._draining.is_set():
+            # Counted so monitoring can distinguish "drained with no
+            # traffic" from "turned away N requests while the load
+            # balancer was slow to eject this backend".
+            self._stat_inc('rejected_draining')
             raise EngineDrainingError(
                 'serving engine is draining for shutdown')
         if self._stop.is_set():
@@ -264,9 +301,15 @@ class ServingEngine:
             enqueued_at=time.perf_counter())
         req.signature = tuple(sorted(
             (k, v.shape, str(v.dtype)) for k, v in req.inputs.items()))
+        # In-flight BEFORE the put: the request must never be visible to
+        # the batcher while invisible to drain()'s accounting.
+        with self._stats_lock:
+            self._inflight += 1
         try:
             self._queue.put_nowait(req)
         except queue.Full:
+            with self._stats_lock:
+                self._inflight -= 1
             self._stat_inc('rejected')
             raise EngineOverloadedError(
                 'request queue full (%d pending); retry later'
@@ -316,21 +359,15 @@ class ServingEngine:
         if timeout is None:
             timeout = self.request_timeout_s + 120.0
         deadline = time.perf_counter() + timeout
-        stable = 0
         while time.perf_counter() < deadline:
-            # _deferred is swapped atomically by the batcher and
-            # _batch_idle is set conservatively (only when the batcher is
-            # provably empty-handed); requiring the drained condition to
-            # hold across several consecutive polls closes the one-bytecode
-            # window between the batcher popping a request and clearing the
-            # idle flag.
-            if (self._queue.qsize() == 0 and not self._deferred
-                    and self._batch_idle):
-                stable += 1
-                if stable >= 5:
-                    break
-            else:
-                stable = 0
+            # _inflight counts accepted-but-unresolved requests exactly
+            # (incremented before the queue put, decremented at future
+            # resolution), so 0 here PROVES nothing accepted is pending —
+            # whether queued, deferred, or mid-dispatch on the batcher.
+            with self._stats_lock:
+                inflight = self._inflight
+            if inflight == 0:
+                break
             time.sleep(0.02)
         self.stop()
 
@@ -340,8 +377,7 @@ class ServingEngine:
         self._thread.join(timeout=10.0)
         err = RuntimeError('serving engine stopped')
         for r in self._deferred:
-            if not r.future.done():
-                r.future.set_exception(err)
+            self._fail_request(r, err)
         self._deferred = []
         self._deferred_sessions = set()
         self._fail_queued(err)
@@ -352,8 +388,7 @@ class ServingEngine:
                 r = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if not r.future.done():
-                r.future.set_exception(err)
+            self._fail_request(r, err)
 
     def get_stats(self):
         """Counters plus live queue/deferred depth (for monitoring)."""
@@ -361,6 +396,8 @@ class ServingEngine:
             out = dict(self.stats)
         out['queue_depth'] = self._queue.qsize()
         out['deferred'] = len(self._deferred)
+        with self._stats_lock:
+            out['inflight'] = self._inflight
         out['draining'] = self._draining.is_set()
         with self._sessions_lock:
             out['sessions_open'] = len(self._sessions)
@@ -383,16 +420,10 @@ class ServingEngine:
                 try:
                     first = self._queue.get(timeout=0.05)
                 except queue.Empty:
-                    if not self._deferred:
-                        # Provably empty-handed: nothing accepted is
-                        # waiting on this thread (drain() polls this).
-                        self._batch_idle = True
                     continue
-                self._batch_idle = False
                 self._try_add(first, reqs, sessions_in_batch)
                 if not reqs:
                     continue
-            self._batch_idle = False
             deadline = time.perf_counter() + self.max_delay_s
             while len(reqs) < self.max_batch:
                 remaining = deadline - time.perf_counter()
@@ -411,7 +442,7 @@ class ServingEngine:
                 newly_failed = [r for r in reqs if not r.future.done()]
                 self._stat_inc('errors', len(newly_failed))
                 for r in newly_failed:
-                    r.future.set_exception(e)
+                    self._fail_request(r, e)
                 # A session whose chunk failed must not silently continue
                 # from pre-failure state: fail its deferred successors too.
                 failed = {r.session for r in newly_failed
@@ -422,10 +453,9 @@ class ServingEngine:
                     for r in self._deferred:
                         if r.session in failed:
                             self._stat_inc('errors')
-                            if not r.future.done():
-                                r.future.set_exception(RuntimeError(
-                                    'a previous chunk of session %s failed'
-                                    % r.session_id))
+                            self._fail_request(r, RuntimeError(
+                                'a previous chunk of session %s failed'
+                                % r.session_id))
                         else:
                             keep.append(r)
                     self._deferred = keep
@@ -451,24 +481,21 @@ class ServingEngine:
                 # same id) after this chunk was submitted; running it would
                 # advance the NEW incarnation's state with stale data.
                 self._stat_inc('errors')
-                if not r.future.done():
-                    r.future.set_exception(UnknownSessionError(
-                        'session closed before dispatch: %s' % r.session_id))
+                self._fail_request(r, UnknownSessionError(
+                    'session closed before dispatch: %s' % r.session_id))
                 return False
             if r.session in self._broken_sessions:
                 self._stat_inc('errors')
-                if not r.future.done():
-                    r.future.set_exception(RuntimeError(
-                        'a previous chunk of session %s failed or expired; '
-                        'close the session and restart the stream'
-                        % r.session_id))
+                self._fail_request(r, RuntimeError(
+                    'a previous chunk of session %s failed or expired; '
+                    'close the session and restart the stream'
+                    % r.session_id))
                 return False
         if (time.perf_counter() - r.enqueued_at) > self.request_timeout_s:
             self._stat_inc('errors')
             self._stat_inc('timed_out')
-            if not r.future.done():
-                r.future.set_exception(EngineOverloadedError(
-                    'request waited > %.1fs in queue' % self.request_timeout_s))
+            self._fail_request(r, EngineOverloadedError(
+                'request waited > %.1fs in queue' % self.request_timeout_s))
             if r.session is not None:
                 # The stream now has a hole; successors must not run on
                 # pre-expiry recurrent state. (r.session was just checked
@@ -558,7 +585,7 @@ class ServingEngine:
                     sessions.append(r.session)
                 else:
                     dropped += 1
-                    r.future.set_exception(UnknownSessionError(
+                    self._fail_request(r, UnknownSessionError(
                         'session closed before dispatch: %s' % r.session_id))
         if dropped:
             self._stat_inc('errors', dropped)
@@ -605,7 +632,7 @@ class ServingEngine:
                     per_sample[k] = v[i]
                 elif v.ndim == 0:
                     per_sample[k] = v
-            r.future.set_result(per_sample)
+            self._resolve_request(r, per_sample)
         with self._stats_lock:
             self.stats['requests'] += n
             self.stats['batches'] += 1
@@ -629,7 +656,8 @@ def _npz_parse(body):
 
 def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
                      served_outputs=None,
-                     max_body_bytes=256 * 1024 * 1024):
+                     max_body_bytes=256 * 1024 * 1024,
+                     keepalive_timeout_s=15.0):
     """Build a ``ThreadingHTTPServer`` exposing the engine.
 
     ``served_outputs=None`` (default) serves whatever the ENGINE was
@@ -650,11 +678,20 @@ def make_http_server(engine: ServingEngine, host='127.0.0.1', port=0,
     BEFORE reading, so an oversized Content-Length cannot exhaust host
     memory); 429 + Retry-After when the engine queue is full or the request
     timed out waiting.
+
+    ``keepalive_timeout_s`` bounds how long a handler thread blocks reading
+    an idle keep-alive connection (or a stalled body). Without it, idle
+    connections would pin handler threads forever, making a graceful
+    shutdown's thread join (``server_close``) unbounded.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = 'HTTP/1.1'
+        # Socket read timeout: handle_one_request treats it as end-of-
+        # keep-alive (closes the connection), so the handler thread exits
+        # and server_close()'s join is bounded.
+        timeout = float(keepalive_timeout_s)
 
         def log_message(self, fmt, *args):
             logger.debug('http: ' + fmt, *args)

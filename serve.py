@@ -88,7 +88,17 @@ def main(argv=None):
         pass
     finally:
         server.shutdown()
+        # Resolve every still-pending future FIRST (on the SIGTERM path the
+        # drain already completed them gracefully; on Ctrl-C this fails
+        # them promptly) so handler threads blocked in engine.infer()
+        # unblock, THEN join the handler threads (ThreadingHTTPServer sets
+        # daemon_threads, so without block_on_close's join in
+        # server_close() the interpreter would kill a handler mid-way
+        # through writing its response — the dropped in-flight work the
+        # drain exists to prevent). The join is bounded by the HTTP
+        # layer's keep-alive read timeout.
         engine.stop()
+        server.server_close()
 
 
 if __name__ == '__main__':

@@ -207,9 +207,19 @@ def test_drain_completes_accepted_requests_then_rejects(spec, params):
         for f in futures:
             out = f.result(timeout=1)  # already resolved, with a RESULT
             assert np.isfinite(np.asarray(out['PoG_px_final'])).all()
-        assert engine.get_stats()['draining'] is True
+        stats = engine.get_stats()
+        assert stats['draining'] is True
+        assert stats['inflight'] == 0, \
+            'every accepted request must be accounted resolved after drain'
+        before = stats['rejected_draining']
         with pytest.raises(EngineDrainingError, match='draining'):
             engine.submit(clips[0])
+        # New sessions are refused too: binding a stream to a dying backend
+        # would mislead clients into retrying against it.
+        with pytest.raises(EngineDrainingError, match='no new sessions'):
+            engine.open_session()
+        assert engine.get_stats()['rejected_draining'] == before + 2, \
+            'draining rejections must be observable in stats'
     finally:
         engine.stop()
 
@@ -254,8 +264,49 @@ def test_http_returns_503_while_draining(spec, params):
         resp = conn.getresponse()
         assert resp.status == 503, resp.status
         assert b'draining' in resp.read()
+
+        conn2 = http.client.HTTPConnection(*server.server_address,
+                                           timeout=30)
+        conn2.request('POST', '/v1/sessions')
+        r2 = conn2.getresponse()
+        assert r2.status == 503, 'no new sessions on a draining backend'
+        assert b'draining' in r2.read()
     finally:
         server.shutdown()
+        engine.stop()
+
+
+def test_server_close_joins_handlers_despite_idle_keepalive(spec, params):
+    """Graceful shutdown joins handler threads (so in-flight responses are
+    flushed before interpreter exit, instead of daemon threads being
+    killed mid-write), and the join is BOUNDED: an idle keep-alive
+    connection is released by the handler read timeout rather than
+    pinning server_close() forever."""
+    import http.client
+    import threading
+    import time as time_mod
+
+    from eve_tpu.serve import make_http_server
+
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0)
+    server = make_http_server(engine, host='127.0.0.1', port=0,
+                              keepalive_timeout_s=0.5)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    conn = http.client.HTTPConnection(*server.server_address, timeout=30)
+    try:
+        conn.request('GET', '/healthz')
+        assert conn.getresponse().read()  # handler now idles on keep-alive
+        server.shutdown()
+        engine.stop()
+        t0 = time_mod.monotonic()
+        server.server_close()  # joins the idle handler thread
+        elapsed = time_mod.monotonic() - t0
+        assert elapsed < 10, (
+            'server_close blocked %.1fs on an idle keep-alive connection'
+            % elapsed)
+    finally:
+        conn.close()
         engine.stop()
 
 
