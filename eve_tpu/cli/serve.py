@@ -43,6 +43,12 @@ def main(argv=None):
         max_delay_ms=config.serve_max_delay_ms,
         max_queue=config.serve_max_queue,
         request_timeout_s=config.serve_request_timeout_s)
+    if config.serve_num_devices > 1:
+        # Data-parallel serving: each micro-batch shards over the mesh.
+        from eve_tpu.parallel import mesh as mesh_lib
+        common['mesh'] = mesh_lib.make_mesh(config.serve_num_devices)
+        logger.info('serving data-parallel over %d devices',
+                    config.serve_num_devices)
     if config.serve_artifact:
         logger.info('serving from AOT artifact %s', config.serve_artifact)
         engine = ServingEngine(artifact=config.serve_artifact, **common)

@@ -296,6 +296,10 @@ class DefaultConfig(object):
     serve_max_queue = 64
     serve_max_body_mb = 256
     serve_request_timeout_s = 30.0
+    # Data-parallel serving: shard each dispatched micro-batch over this
+    # many chips (1-D 'data' mesh; params replicate). 0/1 = one device.
+    # serve_max_batch must divide by it.
+    serve_num_devices = 0
     # Serve from a self-contained AOT export (.eve artifact,
     # export_model.py) instead of model code + checkpoint; fixes one input
     # signature and the batch size. Empty = build the model from

@@ -110,7 +110,7 @@ class ServingEngine:
                  max_batch=8, max_delay_ms=5.0,
                  served_outputs=DEFAULT_SERVED_OUTPUTS,
                  max_sessions=1024, max_signatures=8,
-                 max_queue=64, request_timeout_s=30.0):
+                 max_queue=64, request_timeout_s=30.0, mesh=None):
         """``served_outputs`` bounds what the jitted step returns (None =
         every forward output). ``max_sessions`` / ``max_signatures`` bound
         the two client-controlled growth axes: open sessions (state arrays)
@@ -127,7 +127,15 @@ class ServingEngine:
         tracing at serving time. The artifact fixes ONE input signature and
         the batch size (``max_batch`` is taken from it); sessions require a
         streaming export. Exactly one of (spec+params) / artifact must be
-        given."""
+        given.
+
+        ``mesh``: a 1-D ``jax.sharding.Mesh`` (axis ``data``) to serve
+        data-parallel across chips: each dispatched micro-batch shards its
+        ``max_batch`` slots over the axis while parameters replicate, so
+        N chips serve N× the batch at one chip's latency — the serving
+        analog of the training harness's data axis (parallel/mesh.py).
+        Requires ``max_batch`` divisible by the axis size and the
+        spec+params path (AOT artifacts are compiled for one device)."""
         if artifact is None:
             if spec is None or params is None:
                 raise ValueError(
@@ -161,7 +169,28 @@ class ServingEngine:
         self.max_sessions = int(max_sessions)
         self.max_signatures = int(max_signatures)
         self.request_timeout_s = float(request_timeout_s)
-        self._params = None if self._artifact else jax.device_put(params)
+        self._mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            if self._artifact is not None:
+                raise ValueError(
+                    'mesh serving needs spec+params; AOT artifacts are '
+                    'compiled for a single device')
+            axis = mesh.axis_names[0]
+            extent = mesh.shape[axis]
+            if self.max_batch % extent != 0:
+                raise ValueError(
+                    'max_batch=%d must divide by the %d-device %r mesh '
+                    'axis (every dispatch pads to max_batch, so each chip '
+                    'takes an equal slot count)'
+                    % (self.max_batch, extent, axis))
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec(axis))
+            self._params = jax.device_put(
+                params, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._params = (None if self._artifact
+                            else jax.device_put(params))
         self._queue: "queue.Queue[_Request]" = queue.Queue(
             maxsize=int(max_queue))
         self._deferred: List[_Request] = []  # owned by the batcher thread
@@ -607,6 +636,14 @@ class ServingEngine:
             slot_states.append(self._zero_state)
         states = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=0), *slot_states)
+        if self._batch_sharding is not None:
+            # Mesh serving: slots shard over the data axis (params are
+            # already replicated); GSPMD propagates the placement through
+            # the jitted step, so outputs/new states come back sharded and
+            # np.asarray gathers them.
+            put = lambda x: jax.device_put(x, self._batch_sharding)
+            batch = {k: put(v) for k, v in batch.items()}
+            states = jax.tree.map(put, states)
 
         step = self._get_jit(reqs[0].signature)
         outputs = step(self._params, batch, states)

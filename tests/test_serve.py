@@ -701,3 +701,49 @@ def test_http_served_outputs_follow_engine(spec, params):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_mesh_serving_matches_single_device(spec, params):
+    """Data-parallel serving: a mesh engine's results equal the
+    single-device engine's (batch slots shard over the 'data' axis,
+    params replicate), including session state carried across chunks."""
+    from eve_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(4)
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=200.0,
+                           mesh=mesh)
+    try:
+        clips = _clips(31, 3)
+        futures = [engine.submit(c) for c in clips]
+        results = [f.result(timeout=300) for f in futures]
+        for clip, res in zip(clips, results):
+            ref = _direct(spec, params, clip)
+            for key in ('PoG_px_initial', 'PoG_px_final',
+                        'left_pupil_size'):
+                np.testing.assert_allclose(
+                    res[key], np.asarray(ref[key])[0],
+                    rtol=1e-4, atol=1e-3, err_msg=key)
+
+        # Sessions still carry recurrent state under mesh sharding.
+        T = 4
+        [clip] = _clips(32, 1, T=T)
+        sid = engine.open_session()
+        outs = []
+        for t0 in (0, T // 2):
+            chunk = {k: (v[t0:t0 + T // 2] if v.ndim >= 1 and
+                         v.shape[0] == T else v)
+                     for k, v in clip.items()}
+            outs.append(engine.infer(chunk, session_id=sid, timeout=300))
+        engine.close_session(sid)
+        full = _direct(spec, params, clip)
+        for key in ('PoG_px_initial', 'PoG_px_final'):
+            streamed = np.concatenate([o[key] for o in outs], axis=0)
+            np.testing.assert_allclose(streamed, np.asarray(full[key])[0],
+                                       rtol=1e-4, atol=1e-3, err_msg=key)
+    finally:
+        engine.stop()
+
+
+def test_mesh_serving_validates_batch_divisibility(spec, params):
+    from eve_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match='must divide'):
+        ServingEngine(spec, params, max_batch=3, mesh=make_mesh(4))
