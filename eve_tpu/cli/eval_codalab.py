@@ -53,11 +53,34 @@ def init_dataset(config):
     return dataset, dataloader
 
 
+def _eval_mesh(config, batch_size):
+    """Data-parallel eval mesh (``--tpu-num-devices``, 0 = all available).
+
+    Same device-selection rule as the training harness
+    (eve_tpu/train/harness.py): use the largest device count that divides
+    the batch so every chip takes an equal clip share; 1 device = no mesh.
+    """
+    import jax
+    from eve_tpu.parallel import mesh as mesh_lib
+    n_avail = (config.tpu_num_devices if config.tpu_num_devices > 0
+               else len(jax.devices()))
+    n_use = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
+    if n_use < n_avail:
+        logger.warning(
+            'codalab_eval_batch_size=%d not divisible by %d devices; '
+            'evaluating on %d.', batch_size, n_avail, n_use)
+    if n_use <= 1:
+        return None
+    logger.info('evaluating data-parallel over %d devices', n_use)
+    return mesh_lib.make_mesh(n_use)
+
+
 def main():
     config = script_init_common()
     dataset, dataloader = init_dataset(config)
     assert config.resume_from, '--resume-from is required'
     spec, params = infer.model_setup(config)
+    mesh = _eval_mesh(config, config.codalab_eval_batch_size)
 
     processed_so_far = set()
     outputs_to_write = {}
@@ -66,7 +89,8 @@ def main():
     # 128-clip batch of pure device->host transfer.
     for step, inputs, outputs in infer.iterator(spec, params, dataloader,
                                                 create_images=False,
-                                                materialize_inputs=False):
+                                                materialize_inputs=False,
+                                                mesh=mesh):
         batch_size = outputs['PoG_px_initial'].shape[0]
         for i in range(batch_size):
             participant = inputs['participant'][i]

@@ -114,6 +114,7 @@ class DefaultConfig(object):
 
     @property
     def learning_rate(self):
+        """batch_size * base_learning_rate (linear-scaling rule; reference src/core/config_default.py:81-83)."""
         return self.batch_size * self.base_learning_rate
 
     # LR schedule: 'none' | 'exponential' | 'cyclic'

@@ -109,7 +109,7 @@ def model_setup(config, pretrained_dir=None, require_weights=False):
 
 
 def iterator(spec, params, dataloader, create_images=True, streaming=False,
-             materialize_inputs=True):
+             materialize_inputs=True, mesh=None):
     """Yield (step, inputs_np, outputs_np) per batch (reference :103-127).
 
     ``streaming=True`` carries the GRU/ConvGRU states across batches —
@@ -122,10 +122,35 @@ def iterator(spec, params, dataloader, create_images=True, streaming=False,
     tensors (inputs_np then carries only the host-side extras) — the
     codalab evaluator reads only string metadata, and copying the eye/
     screen tensors back costs ~2 GB per 128-clip batch.
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` (axis ``data``) evaluates
+    data-parallel: each batch's clip dim shards over the axis while the
+    parameters replicate, so N chips evaluate N× the clips at one chip's
+    latency (the eval analog of the training harness's data axis;
+    per-clip results are independent, so values are unchanged). Requires
+    the loader's batch size to divide by the axis (ragged final batches
+    are already padded to the full size below). Incompatible with
+    ``streaming`` (which is defined for batch_size=1).
     """
     import functools
     import jax as jax_lib
     from eve_tpu.models import eve as eve_lib
+
+    shard_put = None
+    if mesh is not None:
+        if streaming:
+            raise ValueError('mesh evaluation is batch-parallel; streaming '
+                             'inference runs one clip (batch_size=1)')
+        from eve_tpu.parallel import mesh as mesh_lib
+        axis = mesh.axis_names[0]
+        extent = mesh.shape[axis]
+        full = getattr(dataloader, 'batch_size', 0) or 0
+        if full and full % extent != 0:
+            raise ValueError(
+                'eval batch_size=%d must divide by the %d-device %r '
+                'mesh axis' % (full, extent, axis))
+        params = mesh_lib.replicate(mesh, params)
+        shard_put = lambda b: mesh_lib.shard_batch(mesh, b, axis)
 
     if streaming:
         @functools.partial(jax_lib.jit, static_argnames=())
@@ -151,7 +176,8 @@ def iterator(spec, params, dataloader, create_images=True, streaming=False,
             batch = {k: (np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                          if isinstance(v, np.ndarray) else v)
                      for k, v in batch.items()}
-        device_batch, host_extras = to_device_arrays(batch)
+        device_batch, host_extras = to_device_arrays(
+            batch, device_put=shard_put)
         if streaming:
             if states is None:
                 assert B == 1, 'streaming inference requires batch_size=1'

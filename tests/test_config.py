@@ -72,3 +72,29 @@ def test_full_json_and_provenance(config, tmp_path):
     config.write_file_contents(str(tmp_path))
     assert (tmp_path / 'configs' / 'combined.json').is_file()
     assert (tmp_path / 'src.zip').is_file()
+
+
+def test_config_docs_in_sync(config):
+    """docs/CONFIG.md is generated from eve_tpu/config.py and must (a) be
+    regeneration-stable against the current source and (b) document every
+    public config key."""
+    import re
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, 'tools'))
+    try:
+        import gen_config_docs
+    finally:
+        sys.path.pop(0)
+    text = gen_config_docs.render(gen_config_docs.parse_class_body())
+    with open(os.path.join(repo, 'docs', 'CONFIG.md')) as f:
+        assert f.read() == text, (
+            'docs/CONFIG.md is stale; run python tools/gen_config_docs.py')
+    documented = set(re.findall(r'^\| `(\w+)`', text, re.MULTILINE))
+    documented |= set(re.findall(r'\*\*`(\w+)`\*\* \(derived property',
+                                 text))
+    public = {k for k in vars(DefaultConfig)
+              if not k.startswith('_') and
+              not callable(getattr(DefaultConfig, k))}
+    missing = public - documented
+    assert not missing, 'undocumented config keys: %s' % sorted(missing)

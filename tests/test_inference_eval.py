@@ -232,3 +232,52 @@ def test_model_setup_require_weights_checks_all_submodules(
     config.override('load_screen_content', False)
     spec2, params2 = infer_lib.model_setup(config, require_weights=True)
     assert spec2 is not None and params2 is not None
+
+
+def test_mesh_eval_parity(dataset_root, clean_config, tmp_path):
+    """Data-parallel evaluation (``infer.iterator(mesh=...)``) yields the
+    same per-clip outputs as single-device evaluation, including the
+    padded ragged final batch (3 clips at batch 2), and rejects a batch
+    size the mesh axis cannot divide."""
+    import jax
+    import eval_codalab
+    from eve_tpu import infer as infer_lib
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.parallel.mesh import make_mesh
+
+    config = eval_codalab.script_init_common(argv=COMMON_FLAGS + [
+        '--datasrc-eve', dataset_root,
+        '--codalab-eval-batch-size', '2',
+        '--codalab-eval-data-workers', '0',
+    ])
+    spec = eve_lib.EveSpec.from_config(config)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+
+    def run(mesh):
+        _, loader = eval_codalab.init_dataset(config)
+        return [outputs for _, _, outputs in
+                infer_lib.iterator(spec, params, loader,
+                                   create_images=False, mesh=mesh)]
+
+    ref = run(None)
+    par = run(make_mesh(2))
+    assert len(ref) == len(par) == 2  # 3 clips at batch 2
+    for a, b in zip(ref, par):
+        for key in ('PoG_px_initial', 'PoG_px_final', 'left_pupil_size',
+                    'g_initial'):
+            np.testing.assert_allclose(a[key], b[key], rtol=1e-5,
+                                       atol=1e-4, err_msg=key)
+
+    _, loader = eval_codalab.init_dataset(config)
+    with pytest.raises(ValueError, match='must divide'):
+        next(iter(infer_lib.iterator(spec, params, loader,
+                                     create_images=False,
+                                     mesh=make_mesh(8))))
+
+    # The CLI's device-selection rule: largest divisor of the batch size.
+    from eve_tpu.cli import eval_codalab as cli
+    assert cli._eval_mesh(config, 2) is not None
+    config.override('tpu_num_devices', 1)
+    assert cli._eval_mesh(config, 2) is None
+    config.override('tpu_num_devices', 8)
+    assert dict(cli._eval_mesh(config, 2).shape) == {'data': 2}
