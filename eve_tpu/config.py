@@ -307,6 +307,19 @@ class DefaultConfig(object):
     # --resume-from / $EVE_PRETRAINED_DIR as usual.
     serve_artifact = ''
 
+    # Per-submodule optimizer settings: multiply the LR schedule for the
+    # matching top-level parameter subtree. This expresses the reference's
+    # multi-optimizer list capability (src/core/training.py:474-502)
+    # specialized to disjoint parameter sets — one Adam per subtree with
+    # its own LR — as a single optax.multi_transform chain (gradient
+    # clipping stays GLOBAL across subtrees, as the reference clips
+    # model.parameters() once). 1.0 = shared optimizer (identical
+    # optimizer-state layout to previous releases); any other value
+    # changes the opt-state pytree, so optimizer state does not resume
+    # across a multiplier change (model params are unaffected).
+    eye_net_learning_rate_multiplier = 1.0
+    refine_net_learning_rate_multiplier = 1.0
+
     # Reference-compat switches: replicate reference quirks bit-for-bit
     # (LambdaLR absolute-vs-factor LR mixup; CLSTM bottleneck output discard).
     # See SURVEY.md section 7 "Hard parts" item 4.
@@ -447,6 +460,16 @@ class DefaultConfig(object):
     def __setattr__(self, name, value):
         if self.__class__.__immutable:
             raise AttributeError('DefaultConfig instance attributes are immutable.')
+        if name == 'video_decoder_codec' and value not in ('libx264', ''):
+            # The reference honors nvdec/h264_cuvid GPU decode
+            # (src/datasources/common.py:112-117); TPU hosts have no NVDEC,
+            # so eve_tpu always decodes on the host CPU (SURVEY.md
+            # section 2.2). Warn instead of silently ignoring the request.
+            logger.warning(
+                "video_decoder_codec=%r is not supported on TPU hosts; "
+                "frames are decoded on the host CPU (cv2/ffmpeg, libx264 "
+                "path). The key is accepted for reference-config "
+                "compatibility only.", value)
         super().__setattr__(name, value)
 
     def __delattr__(self, name):

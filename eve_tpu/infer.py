@@ -145,7 +145,16 @@ def iterator(spec, params, dataloader, create_images=True, streaming=False,
         axis = mesh.axis_names[0]
         extent = mesh.shape[axis]
         full = getattr(dataloader, 'batch_size', 0) or 0
-        if full and full % extent != 0:
+        if not full:
+            # Both the divisibility check and the ragged-final-batch padding
+            # key off the loader's fixed batch size; without it a
+            # non-divisible batch would fail deep inside jax.device_put
+            # with an opaque sharding error.
+            raise ValueError(
+                'mesh evaluation requires the dataloader to expose a '
+                'positive batch_size attribute (needed to pad ragged final '
+                'batches to a shardable shape)')
+        if full % extent != 0:
             raise ValueError(
                 'eval batch_size=%d must divide by the %d-device %r '
                 'mesh axis' % (full, extent, axis))

@@ -2,14 +2,18 @@
 
 Mirrors the reference ``GoogleSheetLogger``
 (src/core/gsheet_logger.py:39-206): one row per run identifier, columns
-auto-extended from config keys + hostname + metrics, update-or-append
-semantics, and — critically — *every* failure swallowed so experiment
-tracking can never kill a run. ``gspread`` is optional; without it (or
-without secrets) the logger is inert (``ready == False``).
+auto-extended from config keys + hostname + timestamps + LSF job id,
+update-or-append semantics, an initial row written at construction
+(with ``Start Time`` for fresh runs, src/core/gsheet_logger.py:49-56),
+and — critically — *every* failure swallowed so experiment tracking can
+never kill a run. ``gspread`` is optional; without it (or without
+secrets) the logger is inert (``ready == False``).
 """
 
 import logging
+import os
 import socket
+import time
 import traceback
 
 logger = logging.getLogger(__name__)
@@ -17,7 +21,7 @@ logger = logging.getLogger(__name__)
 
 class GoogleSheetLogger:
 
-    def __init__(self, config, identifier):
+    def __init__(self, config, identifier, resuming=False):
         self.config = config
         self.identifier = identifier
         self.ready = False
@@ -40,15 +44,35 @@ class GoogleSheetLogger:
             logger.warning('GoogleSheetLogger disabled:\n%s',
                            traceback.format_exc())
             self.ready = False
+            return
+        self._register(resuming)
+
+    def _register(self, resuming):
+        """Register the run immediately (reference gsheet_logger.py:49-56):
+        fresh runs get a 'Start Time'; resumed runs only refresh info."""
+        to_write = {}
+        if not resuming:
+            to_write['Start Time'] = time.strftime('%Y/%m/%d %H:%M:%S')
+        self.update_or_append_row(to_write)
 
     def fill_in_basic_info(self):
+        """Identifier + timestamps + config + host/job metadata
+        (reference gsheet_logger.py:62-84: datasrc_*/gsheet_* keys are
+        excluded, the hostname column is lowercase, and the LSF job id is
+        recorded when running under LSF)."""
         row = {'Identifier': self.identifier,
-               'Hostname': socket.getfqdn()}
+               'Last Updated': time.strftime('%Y/%m/%d %H:%M:%S')}
         try:
             row.update({k: str(v)
-                        for k, v in self.config.get_all_key_values().items()})
+                        for k, v in
+                        sorted(self.config.get_all_key_values().items())
+                        if not k.startswith('datasrc_')
+                        and not k.startswith('gsheet_')})
         except Exception:
             pass
+        row['hostname'] = socket.getfqdn()
+        if 'LSB_JOBID' in os.environ:
+            row['LSF Job ID'] = os.environ['LSB_JOBID']
         return row
 
     def update_or_append_row(self, values):

@@ -387,7 +387,8 @@ class Experiment:
         # which the distributed scan's batch-divisibility check rejects,
         # and eval holds no optimizer/gradient memory to shard away).
         self.seq_mesh = self.mesh if sp > 1 else None
-        self.gsheet_logger = GoogleSheetLogger(config, identifier)
+        self.gsheet_logger = GoogleSheetLogger(
+            config, identifier, resuming=bool(config.resume_from))
         self.checkpoint_manager = CheckpointManager(
             output_dir, keep_n=config.checkpoints_keep_n)
         self.last_step = 0
@@ -859,13 +860,43 @@ def main_loop_iterator(exp, train_data, test_data):
         save_checkpoint(exp, exp.last_step + 1)
 
 
+def _pad_eval_batch(batch, full_size):
+    """Pad a ragged eval batch to ``full_size`` rows with ZERO-validity
+    copies of the last row (mirrors ``infer.iterator``'s padding,
+    eve_tpu/infer.py). Every loss/metric scalar is a validity-masked
+    batch mean (``losses.masked_mean``), so an all-invalid item
+    contributes exactly 0 to each 0-dim output; the caller recovers the
+    real-row sum by weighting the scalar by the PADDED size. Keeps the
+    eval step's compiled shape and the full mesh sharding on the final
+    batch of every eval (vs the prior one-device replicated fallback)."""
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray):
+            out[k] = v
+            continue
+        pad = full_size - v.shape[0]
+        fill = np.repeat(v[-1:], pad, axis=0)
+        if k.endswith('_validity'):
+            fill = np.zeros_like(fill)
+        out[k] = np.concatenate([v, fill], axis=0)
+    return out
+
+
 def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
-    """Evaluate on all test loaders; weighted mean of 0-dim outputs."""
+    """Evaluate on all test loaders; weighted mean of 0-dim outputs.
+
+    The 0-dim outputs are validity-masked batch means (the reference's
+    ``test_model_on_all`` likewise re-weights per-batch means by
+    batch_size/num_entries, src/core/training.py:308-314); the padded
+    final batch keeps that exact because padded rows carry zero validity.
+    """
+    data_extent = dict(exp.mesh.shape).get('data', 1) if exp.mesh else 1
     final_out = {}
     for tag, data_dict in test_data.items():
         loader = data_dict['dataloader']
         num_entries = getattr(loader, 'num_entries', None) or \
             len(data_dict['dataset'])
+        full_size = getattr(loader, 'batch_size', None)
         totals = {}
         for batch_index, batch in enumerate(loader):
             # Preemption can land during live validation or the final
@@ -877,19 +908,28 @@ def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
             if _preemption_agreed(
                     sync=batch_index % _PREEMPTION_SYNC == 0):
                 _exit_for_preemption(exp, None, test_data)
+            batch_size = next(iter(
+                v for v in batch.values()
+                if isinstance(v, np.ndarray))).shape[0]
+            weight_rows = batch_size
+            if (data_extent > 1 and full_size and
+                    batch_size < full_size and jax.process_count() == 1):
+                # Ragged final batch on a multi-device mesh: pad with
+                # zero-validity rows so the batch keeps its compiled shape
+                # and full sharding; the scalar outputs then average over
+                # full_size rows of which the pads contribute 0.
+                batch = _pad_eval_batch(batch, full_size)
+                weight_rows = full_size
             # Shard eval batches over the mesh like training batches
             # (device_put_batch falls back to replicated placement for
             # ragged final batches that don't divide the device count).
             device_batch, _ = to_device_arrays(
                 batch, device_put=exp.device_put_batch)
             out = exp.eval_step(exp.state.params, device_batch)
-            batch_size = next(iter(
-                v for v in batch.values()
-                if isinstance(v, np.ndarray))).shape[0]
             for k, v in out.items():
                 if hasattr(v, 'ndim') and v.ndim == 0:
                     totals[k] = totals.get(k, 0.0) + \
-                        float(v) * (batch_size / num_entries)
+                        float(v) * (weight_rows / num_entries)
         final_out[tag] = totals
         logger.info('%10s test: %s', '[%s]' % tag,
                     ', '.join('%s: %.4g' % (k, totals[k])

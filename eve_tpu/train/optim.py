@@ -108,32 +108,104 @@ def _schedule_array(step, base_lr, target_lr, steps_per_epoch,
 def build_optimizer(config, steps_per_epoch, frozen_eye_net=None):
     """optax chain: clip -> (torch-style) Adam with coupled weight decay.
 
+    Per-submodule learning rates (``eye_net_learning_rate_multiplier`` /
+    ``refine_net_learning_rate_multiplier``) express the reference's
+    multi-optimizer list (src/core/training.py:474-502) for disjoint
+    parameter subtrees: gradient clipping stays GLOBAL (the reference
+    clips ``model.parameters()`` once, src/core/training.py:491-498),
+    then each top-level subtree runs its own wd->Adam->LR chain. Since
+    Adam state and coupled weight decay are elementwise, this equals the
+    reference's ``[Adam(eye_params, lr1), Adam(refine_params, lr2)]``
+    exactly (pinned by tests/test_trajectory_parity.py).
+
     Args:
       frozen_eye_net: overrides ``config.eye_net_frozen`` if given. When
         frozen, the ``eye_net`` top-level subtree receives zero updates
-        (reference freezes via requires_grad=False, src/models/eve.py:58-60).
+        (reference freezes via requires_grad=False, src/models/eve.py:58-60)
+        and is excluded from the clip norm (its params carry no grads in
+        the reference).
     """
     schedule = make_schedule(config, steps_per_epoch)
-    chain = []
-    if config.do_gradient_clipping:
+    multipliers = {
+        'eye_net': float(getattr(config, 'eye_net_learning_rate_multiplier',
+                                 1.0)),
+        'refine_net': float(getattr(config,
+                                    'refine_net_learning_rate_multiplier',
+                                    1.0)),
+    }
+
+    def clip_transform():
+        if not config.do_gradient_clipping:
+            return None
         if config.gradient_clip_by == 'norm':
-            chain.append(optax.clip_by_global_norm(config.gradient_clip_amount))
-        elif config.gradient_clip_by == 'value':
-            chain.append(optax.clip(config.gradient_clip_amount))
-    if config.weight_decay:
-        chain.append(optax.add_decayed_weights(config.weight_decay))
-    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    chain.append(optax.scale_by_learning_rate(schedule))
-    tx = optax.chain(*chain)
+            return optax.clip_by_global_norm(config.gradient_clip_amount)
+        if config.gradient_clip_by == 'value':
+            return optax.clip(config.gradient_clip_amount)
+        return None
+
+    def inner_chain(lr_scale):
+        chain = []
+        if config.weight_decay:
+            chain.append(optax.add_decayed_weights(config.weight_decay))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        if lr_scale == 1.0:
+            chain.append(optax.scale_by_learning_rate(schedule))
+        else:
+            chain.append(optax.scale_by_learning_rate(
+                lambda count: lr_scale * schedule(count)))
+        return chain
 
     frozen = (config.eye_net_frozen if frozen_eye_net is None
               else frozen_eye_net)
-    if frozen:
+    custom_lr = any(m != 1.0 for m in multipliers.values())
+
+    if not custom_lr:
+        # Uniform LR: keep the historical flat chain (and the historical
+        # frozen wrapping) so optimizer-state checkpoints stay loadable.
+        chain = []
+        clip = clip_transform()
+        if clip is not None:
+            chain.append(clip)
+        chain.extend(inner_chain(1.0))
+        tx = optax.chain(*chain)
+        if frozen:
+            def label_fn(params):
+                return {k: ('frozen' if k == 'eye_net' else 'train')
+                        for k in params}
+            tx = optax.multi_transform(
+                {'train': tx, 'frozen': optax.set_to_zero()}, label_fn)
+    else:
         def label_fn(params):
-            return {k: ('frozen' if k == 'eye_net' else 'train')
-                    for k in params}
-        tx = optax.multi_transform(
-            {'train': tx, 'frozen': optax.set_to_zero()}, label_fn)
+            labels = {}
+            for k in params:
+                if frozen and k == 'eye_net':
+                    labels[k] = 'frozen'
+                elif k in multipliers and multipliers[k] != 1.0:
+                    labels[k] = k
+                else:
+                    labels[k] = 'train'
+            return labels
+
+        transforms = {'train': optax.chain(*inner_chain(1.0)),
+                      'frozen': optax.set_to_zero()}
+        for k, m in multipliers.items():
+            if m != 1.0:
+                transforms[k] = optax.chain(*inner_chain(m))
+
+        parts = []
+        clip = clip_transform()
+        if clip is not None:
+            if frozen:
+                # Exclude the frozen subtree from the global norm: in the
+                # reference its params have requires_grad=False and never
+                # enter clip_grad_norm_.
+                parts.append(optax.masked(
+                    clip, lambda params: {k: k != 'eye_net'
+                                          for k in params}))
+            else:
+                parts.append(clip)
+        parts.append(optax.multi_transform(transforms, label_fn))
+        tx = optax.chain(*parts)
 
     accum = int(getattr(config, 'gradient_accumulation_steps', 1))
     if accum > 1:

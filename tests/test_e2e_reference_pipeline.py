@@ -23,7 +23,6 @@ numpy 2.x and must NOT be touched).
 """
 
 import os
-import re
 import sys
 import types
 
@@ -37,67 +36,12 @@ pytestmark = pytest.mark.skipif(
 
 
 # ---------------------------------------------------------------------------
-# cv2-backed ffmpeg shim executing the reference's own filter strings.
+# cv2-backed ffmpeg shim executing the reference's own filter strings
+# (shared with tools/close_parity_gate.py via eve_tpu/utils/reference_bridge).
 # ---------------------------------------------------------------------------
 
-class _FFmpegChain:
-    def __init__(self, path, **input_params):
-        self.path = path
-        self.input_params = input_params
-        self.output_params = {}
-
-    def output(self, target, format=None, pix_fmt=None, loglevel=None,
-               **output_params):
-        assert target == 'pipe:'
-        assert format == 'rawvideo'
-        assert pix_fmt == 'rgb24', pix_fmt  # sync path; async uses bgr24
-        self.output_params = output_params
-        return self
-
-    def run(self, capture_stdout=True, quiet=True):
-        import cv2
-        vf = self.output_params.get('vf', '')
-        wanted = [int(m) for m in re.findall(r'eq\(n,(\d+)\)', vf)]
-        scale = re.search(r'scale=(\d+):(\d+)', vf)
-        cap = cv2.VideoCapture(self.path)
-        assert cap.isOpened(), self.path
-        out = []
-        index = 0
-        want = set(wanted) if wanted else None
-        while True:
-            ok, frame_bgr = cap.read()
-            if not ok:
-                break
-            if want is None or index in want:
-                frame = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-                if scale is not None:
-                    w, h = int(scale.group(1)), int(scale.group(2))
-                    if (frame.shape[1], frame.shape[0]) != (w, h):
-                        frame = cv2.resize(frame, (w, h))
-                out.append(frame)
-            index += 1
-            if want is not None and index > max(want):
-                break
-        cap.release()
-        assert out, (self.path, vf)
-        return np.concatenate([f.reshape(-1) for f in out]).tobytes(), b''
-
-
-def _probe(path):
-    import cv2
-    cap = cv2.VideoCapture(path)
-    assert cap.isOpened(), path
-    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    cap.release()
-    return {'streams': [{'codec_type': 'video', 'width': w, 'height': h}]}
-
-
-def _make_ffmpeg_module():
-    mod = types.ModuleType('ffmpeg')
-    mod.input = lambda path, **kw: _FFmpegChain(path, **kw)
-    mod.probe = _probe
-    return mod
+from eve_tpu.utils.reference_bridge import make_ffmpeg_module \
+    as _make_ffmpeg_module  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

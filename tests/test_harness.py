@@ -669,6 +669,47 @@ def test_accumulation_mesh_uses_step_batch(dataset_root, config):
     assert len(placed['x'].sharding.device_set) == 2
 
 
+def test_ragged_eval_padding_is_exact(config):
+    """_pad_eval_batch pads with ZERO-validity rows: every 0-dim output is
+    a validity-masked batch mean (losses.masked_mean), so the padded
+    scalar times the padded size must equal the unpadded scalar times the
+    real size — the invariant test_model_on_all's weighting relies on when
+    it keeps ragged final batches sharded over the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.data.synthetic import make_synthetic_batch
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.train import optim as optim_lib
+    from eve_tpu.train import step as step_lib
+
+    spec = eve_lib.EveSpec.from_config(config)
+    batch = make_synthetic_batch(np.random.RandomState(3), batch_size=3,
+                                 sequence_len=2, eyes_size=48,
+                                 with_screen=False)
+    padded = harness._pad_eval_batch(batch, 5)
+    for k, v in padded.items():
+        if isinstance(v, np.ndarray):
+            assert v.shape[0] == 5, k
+            if k.endswith('_validity'):
+                assert not v[3:].any(), k
+
+    tx, _ = optim_lib.build_optimizer(config, steps_per_epoch=10)
+    state = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+    eval_step = step_lib.make_eval_step(spec)
+    out_real = eval_step(state.params,
+                         {k: jnp.asarray(v) for k, v in batch.items()})
+    out_pad = eval_step(state.params,
+                        {k: jnp.asarray(v) for k, v in padded.items()})
+    checked = 0
+    for k, v in out_real.items():
+        if hasattr(v, 'ndim') and v.ndim == 0:
+            np.testing.assert_allclose(
+                float(out_pad[k]) * 5, float(v) * 3, rtol=1e-5, atol=1e-7,
+                err_msg=k)
+            checked += 1
+    assert checked >= 5, checked
+
+
 def test_remat_value_normalization(config):
     """Old boolean tpu_remat configs keep working; typos fail loudly."""
     config.import_dict({'tpu_remat': True})

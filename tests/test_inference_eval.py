@@ -274,6 +274,16 @@ def test_mesh_eval_parity(dataset_root, clean_config, tmp_path):
                                      create_images=False,
                                      mesh=make_mesh(8))))
 
+    # A duck-typed loader without batch_size cannot be padded/validated:
+    # fail fast instead of dying inside jax.device_put on a ragged batch.
+    class NoBatchSize:
+        def __iter__(self):
+            return iter(loader)
+    with pytest.raises(ValueError, match='batch_size'):
+        next(iter(infer_lib.iterator(spec, params, NoBatchSize(),
+                                     create_images=False,
+                                     mesh=make_mesh(2))))
+
     # The CLI's device-selection rule: largest divisor of the batch size.
     from eve_tpu.cli import eval_codalab as cli
     assert cli._eval_mesh(config, 2) is not None

@@ -48,7 +48,12 @@ def test_gsheet_update_or_append_row():
     logger.update_or_append_row({'test/loss': 1.5})
     header = sheet.rows[0]
     assert 'Identifier' in header and 'test/loss' in header
-    assert 'Hostname' in header and 'batch_size' in header  # config dump
+    assert 'hostname' in header and 'batch_size' in header  # config dump
+    # Reference row metadata (gsheet_logger.py:62-84): Last Updated always;
+    # datasrc_* / gsheet_* config keys excluded.
+    assert 'Last Updated' in header
+    assert not any(k.startswith('datasrc_') or k.startswith('gsheet_')
+                   for k in header)
     row1 = sheet.rows[1]
     assert row1[header.index('Identifier')] == 'run/abc'
     assert row1[header.index('test/loss')] == 1.5
@@ -65,6 +70,27 @@ def test_gsheet_update_or_append_row():
     logger2._sheet = sheet
     logger2.update_or_append_row({'test/loss': 9.0})
     assert len(sheet.rows) == 3
+    DefaultConfig._reset_instance_for_testing()
+
+
+def test_gsheet_row_metadata(monkeypatch):
+    """Reference row metadata (gsheet_logger.py:49-84): LSF job id from the
+    environment; 'Start Time' written on fresh-run registration only."""
+    monkeypatch.setenv('LSB_JOBID', '424242')
+    logger = _logger_with_fake_sheet('run/abc')
+    row = logger.fill_in_basic_info()
+    assert row['LSF Job ID'] == '424242'
+    assert 'Last Updated' in row and 'hostname' in row
+
+    logger._register(resuming=False)
+    header = logger._sheet.rows[0]
+    assert 'Start Time' in header
+    started = logger._sheet.rows[1][header.index('Start Time')]
+    assert started  # fresh run: timestamp recorded
+
+    logger2 = _logger_with_fake_sheet('run/resumed')
+    logger2._register(resuming=True)
+    assert 'Start Time' not in logger2._sheet.rows[0]
     DefaultConfig._reset_instance_for_testing()
 
 

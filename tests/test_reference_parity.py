@@ -17,7 +17,9 @@ import types
 import numpy as np
 import pytest
 
-REF_SRC = '/root/reference/src'
+from eve_tpu.utils.reference_bridge import (
+    REF_SRC, install_logging_stubs,
+    install_torchvision_resnet_stub as _install_torchvision_resnet_stub_impl)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_SRC), reason='reference checkout not available')
@@ -28,16 +30,7 @@ def ref():
     """Import the reference model modules (with stubs for the third-party
     logging deps its ``core`` package pulls in at import time)."""
     torch = pytest.importorskip('torch')
-    for name in ('gspread', 'tensorboardX', 'torchvision'):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if not hasattr(sys.modules['tensorboardX'], 'SummaryWriter'):
-        sys.modules['tensorboardX'].SummaryWriter = object
-    oauth_sa = types.ModuleType('oauth2client.service_account')
-    oauth_sa.ServiceAccountCredentials = object
-    oauth = types.ModuleType('oauth2client')
-    oauth.service_account = oauth_sa
-    sys.modules.setdefault('oauth2client', oauth)
-    sys.modules.setdefault('oauth2client.service_account', oauth_sa)
+    install_logging_stubs()
 
     sys.path.insert(0, REF_SRC)
     try:
@@ -380,90 +373,10 @@ def test_numpy_gaze_utils_vs_reference(ref):
 
 
 def _install_torchvision_resnet_stub(torch):
-    """Faithful stand-in for torchvision.models.resnet.{ResNet, BasicBlock}
-    (topology and state-dict names exact; torchvision itself is not in this
-    image). Lets the reference EyeNet/EVE import so the composite logic can
-    be parity-tested; the CNN topology itself is additionally covered by
-    tests/test_resnet_parity.py."""
-    import torch.nn as nn
-
-    class BasicBlock(nn.Module):
-        expansion = 1
-
-        def __init__(self, inplanes, planes, stride=1, downsample=None,
-                     groups=1, base_width=64, dilation=1, norm_layer=None):
-            super().__init__()
-            norm_layer = norm_layer or nn.BatchNorm2d
-            self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1,
-                                   bias=False)
-            self.bn1 = norm_layer(planes)
-            self.relu = nn.ReLU(inplace=True)
-            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-            self.bn2 = norm_layer(planes)
-            self.downsample = downsample
-            self.stride = stride
-
-        def forward(self, x):
-            identity = x
-            out = self.relu(self.bn1(self.conv1(x)))
-            out = self.bn2(self.conv2(out))
-            if self.downsample is not None:
-                identity = self.downsample(x)
-            return self.relu(out + identity)
-
-    class ResNet(nn.Module):
-        def __init__(self, block, layers, num_classes=1000,
-                     zero_init_residual=False, groups=1, width_per_group=64,
-                     replace_stride_with_dilation=None, norm_layer=None):
-            super().__init__()
-            norm_layer = norm_layer or nn.BatchNorm2d
-            self._norm_layer = norm_layer
-            self.inplanes = 64
-            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-            self.bn1 = norm_layer(64)
-            self.relu = nn.ReLU(inplace=True)
-            self.maxpool = nn.MaxPool2d(3, 2, 1)
-            self.layer1 = self._make_layer(block, 64, layers[0])
-            self.layer2 = self._make_layer(block, 128, layers[1], 2)
-            self.layer3 = self._make_layer(block, 256, layers[2], 2)
-            self.layer4 = self._make_layer(block, 512, layers[3], 2)
-            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
-            self.fc = nn.Linear(512 * block.expansion, num_classes)
-            for m in self.modules():
-                if isinstance(m, nn.Conv2d):
-                    nn.init.kaiming_normal_(m.weight, mode='fan_out',
-                                            nonlinearity='relu')
-
-        def _make_layer(self, block, planes, blocks, stride=1):
-            norm_layer = self._norm_layer
-            downsample = None
-            if stride != 1 or self.inplanes != planes * block.expansion:
-                downsample = nn.Sequential(
-                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
-                              stride, bias=False),
-                    norm_layer(planes * block.expansion))
-            layers = [block(self.inplanes, planes, stride, downsample,
-                            norm_layer=norm_layer)]
-            self.inplanes = planes * block.expansion
-            layers += [block(self.inplanes, planes, norm_layer=norm_layer)
-                       for _ in range(1, blocks)]
-            return nn.Sequential(*layers)
-
-        def forward(self, x):
-            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
-            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
-            x = self.avgpool(x)
-            x = torch.flatten(x, 1)
-            return self.fc(x)
-
-    tv = sys.modules.setdefault('torchvision', types.ModuleType('torchvision'))
-    tvm = types.ModuleType('torchvision.models')
-    tvr = types.ModuleType('torchvision.models.resnet')
-    tvr.ResNet, tvr.BasicBlock = ResNet, BasicBlock
-    tvm.resnet = tvr
-    tv.models = tvm
-    sys.modules['torchvision.models'] = tvm
-    sys.modules['torchvision.models.resnet'] = tvr
+    """Shared shim (eve_tpu/utils/reference_bridge.py): faithful
+    torchvision.models.resnet stand-in, numerics pinned by
+    tests/test_resnet_parity.py + the fingerprint test."""
+    _install_torchvision_resnet_stub_impl(torch)
 
 
 @pytest.mark.parametrize('eye_rnn', ['GRU', 'LSTM', 'RNN'])
