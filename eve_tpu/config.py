@@ -204,11 +204,13 @@ class DefaultConfig(object):
     tpu_compute_dtype = 'float32'
 
     # Use fused Pallas kernels for heatmap render / soft-argmax on TPU.
-    # Default off: the XLA formulations of both ops measure at the HBM
-    # roofline on v5e (~0.03 ms each at N=480, BASELINE.md), and the
-    # soft-argmax kernel SIGABRTs the current Mosaic toolchain's vector
-    # layout inference. The kernels remain available (and interpret-tested)
-    # for toolchains where they help.
+    # Both kernels compile and run on the live Mosaic toolchain (the old
+    # soft-argmax SIGABRT was bisected to multi-axis reductions and fixed
+    # by staging them single-axis, kernels/heatmap_kernels.py). Default
+    # off because the XLA formulations measure at the HBM roofline on v5e
+    # (~0.017 ms each at N=480 vs ~0.02 ms Pallas; end-to-end the
+    # pallas_call boundaries also break fusion: 12.1k vs 13.4k frames/s,
+    # BASELINE.md) — the flag is safe, just not a win on this model.
     tpu_use_pallas = False
 
     # Data-parallel mesh size; 0 = use all visible devices.

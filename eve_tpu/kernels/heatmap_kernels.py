@@ -58,26 +58,39 @@ def pallas_make_heatmaps(centres_px, sigma, heatmap_size=(HEATMAP_W, HEATMAP_H),
     )(centres_px.astype(jnp.float32))
 
 
+def _reduce12(x, fn):
+    """Reduce axes (1, 2) with keepdims as TWO single-axis reductions.
+
+    MULTI-axis reductions (``jnp.max(x, axis=(1, 2))``) are the trigger for
+    the Mosaic vector-layout-inference crash on the current toolchain
+    (``Check failed: arr.size() >= layout_rank`` in layout.h) — bisected on
+    the real v5e 2026-08-19: single-axis reductions, (BN,1,1) outputs,
+    broadcasts and axis-2 concats all compile; any axis=(1,2) reduce
+    SIGABRTs the compile helper. Staging sublanes-then-lanes is
+    mathematically identical for max/sum.
+    """
+    return fn(fn(x, axis=1, keepdims=True), axis=2, keepdims=True)
+
+
 def _softargmax_kernel(hm_ref, out_ref, *, beta, h, w, sw, sh):
     # Block of BN maps; all reductions vectorized over the sample axis so
     # the expensive cross-lane reduces amortize over the whole block
     # (one map per grid step measured ~15x slower: pure launch/reduce
     # overhead at 480 tiny steps, BASELINE.md). Every intermediate stays
-    # rank >= 2 with keepdims reductions and 3-D iotas: rank-1 vectors and
-    # squeeze-reshapes trip Mosaic's vector layout inference (SIGABRT in
-    # inferReshape) on this toolchain.
+    # rank >= 2 (keepdims + 3-D iotas) and every reduction single-axis
+    # (see _reduce12) to stay inside Mosaic's layout-inference support.
     x = hm_ref[...].astype(jnp.float32)                     # (BN, h, w)
-    m = jnp.max(x, axis=(1, 2), keepdims=True)              # (BN, 1, 1)
+    m = _reduce12(x, jnp.max)                               # (BN, 1, 1)
     p = jnp.exp(beta * (x - m))
-    total = jnp.sum(p, axis=(1, 2), keepdims=True)          # (BN, 1, 1)
+    total = _reduce12(p, jnp.sum)                           # (BN, 1, 1)
     # Coordinate grids in [0, 1] (linspace with endpoint=True)
     xs = jax.lax.broadcasted_iota(
         jnp.int32, (1, h, w), 2).astype(jnp.float32) / (w - 1)
     ys = jax.lax.broadcasted_iota(
         jnp.int32, (1, h, w), 1).astype(jnp.float32) / (h - 1)
     inv = 1.0 / total
-    px = jnp.sum(p * xs, axis=(1, 2), keepdims=True) * inv * sw
-    py = jnp.sum(p * ys, axis=(1, 2), keepdims=True) * inv * sh
+    px = _reduce12(p * xs, jnp.sum) * inv * sw
+    py = _reduce12(p * ys, jnp.sum) * inv * sh
     out = jnp.concatenate(
         [jnp.clip(px, 0.0, sw), jnp.clip(py, 0.0, sh)], axis=2)
     out_ref[...] = out                                       # (BN, 1, 2)
