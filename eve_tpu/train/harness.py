@@ -82,6 +82,11 @@ def script_init_common(argv=None, description='Train a gaze estimation model.'):
         level=args.v.upper(),
         format='%(asctime)s %(levelname)s %(message)s',
         datefmt='%d/%m %H:%M:%S')
+    # basicConfig silently skips the level when handlers already exist
+    # (embedding hosts, pytest); the reference's coloredlogs.install sets
+    # it unconditionally (src/core/training.py:89-93) — match that, or
+    # messages.log misses every INFO line in embedded runs.
+    logging.getLogger().setLevel(args.v.upper())
 
     for json_path in args.config_json:
         config.import_json(json_path)
