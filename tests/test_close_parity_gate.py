@@ -75,6 +75,7 @@ def weights_dir(tmp_path_factory):
     return str(wdir)
 
 
+@pytest.mark.slow
 def test_close_parity_gate_end_to_end(dataset_root, weights_dir, tmp_path,
                                       capsys, monkeypatch):
     from eve_tpu.config import DefaultConfig

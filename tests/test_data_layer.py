@@ -284,6 +284,7 @@ def test_device_prefetcher_propagates_producer_error():
         next(it)
 
 
+@pytest.mark.slow
 def test_end_to_end_forward_from_disk(dataset_root, config, tmp_path):
     """Disk -> loader -> EVE forward: the full input contract in one test."""
     import jax

@@ -28,6 +28,7 @@ def setup():
     return spec, params, batch
 
 
+@pytest.mark.slow
 def test_forward_eval_outputs(setup):
     spec, params, batch = setup
     out = eve_lib.forward(spec, params, batch, training=False,
@@ -63,6 +64,7 @@ def test_forward_training_offset_augmentation(setup):
     assert np.isfinite(float(out['full_loss']))
 
 
+@pytest.mark.slow
 def test_forward_no_refine():
     spec = small_spec(refine_net_enabled=False, load_screen_content=False)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
@@ -86,6 +88,7 @@ def test_forward_static_eye_net():
     assert np.isfinite(float(out['full_loss']))
 
 
+@pytest.mark.slow
 def test_gru_scan_matches_per_step_loop(setup):
     """The batched-CNN + scanned-GRU split must equal a per-t loop."""
     spec, params, batch = setup
@@ -149,6 +152,7 @@ def test_gt_gaze_projects_back_to_gt_pog(setup):
                                atol=1.5)
 
 
+@pytest.mark.slow
 def test_uint8_on_device_preprocess_matches_host_path():
     """uint8 inputs + on-device normalize == host-normalized f32 inputs."""
     import numpy as np
@@ -185,6 +189,7 @@ def test_uint8_on_device_preprocess_matches_host_path():
     ('LSTM', 'CLSTM', False),   # intended (non-quirk) CLSTM behavior
     ('RNN', 'CRNN', True),
 ])
+@pytest.mark.slow
 def test_forward_rnn_variants(eye_rnn, refine_rnn, carry_only):
     """All cell-type combinations run and produce finite train gradients."""
     import jax
@@ -212,6 +217,7 @@ def test_forward_rnn_variants(eye_rnn, refine_rnn, carry_only):
     assert finite
 
 
+@pytest.mark.slow
 def test_streaming_chunked_inference_matches_full_clip():
     """Two T/2 chunks with carried states == one full-T forward (serving)."""
     import jax
@@ -246,6 +252,7 @@ def test_streaming_chunked_inference_matches_full_clip():
                                    rtol=1e-4, atol=1e-3, err_msg=key)
 
 
+@pytest.mark.slow
 def test_forward_without_camera_geometry():
     """GazeCapture/MPIIGaze-style pretraining input: eye patches + head pose
     + gaze/pupil GT but NO camera extrinsics or screen geometry (reference

@@ -27,6 +27,7 @@ def _batch(seed, B=1, T=3, with_gt=False):
                                 eyes_size=32, with_gt=with_gt)
 
 
+@pytest.mark.slow
 def test_round_trip_matches_live_forward(spec, params, tmp_path):
     batch = _batch(0)
     blob = export_inference(spec, params, batch)
@@ -49,6 +50,7 @@ def test_round_trip_matches_live_forward(spec, params, tmp_path):
     assert all(not k.startswith('loss') for k in out)
 
 
+@pytest.mark.slow
 def test_streaming_artifact_carries_state(spec, params):
     T = 4
     batch = _batch(1, T=T)
@@ -75,6 +77,7 @@ def test_streaming_artifact_carries_state(spec, params):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_serving_engine_from_streaming_artifact(spec, params):
     """ServingEngine(artifact=...) serves sessions from a streaming AOT
     export — no model code or checkpoint at serving time — with results
@@ -116,6 +119,7 @@ def test_serving_engine_from_streaming_artifact(spec, params):
         engine.stop()
 
 
+@pytest.mark.slow
 def test_serving_engine_from_nonstreaming_artifact(spec, params):
     """A stateless artifact serves stateless requests; sessions are
     refused up front (they would silently reset state every chunk)."""
@@ -148,6 +152,7 @@ def test_rejects_foreign_file(tmp_path):
         load_exported(str(path))
 
 
+@pytest.mark.slow
 def test_export_cli(spec, params, tmp_path, monkeypatch):
     """Save a checkpoint in the production layout, export via the CLI,
     reload and run the artifact."""

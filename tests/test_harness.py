@@ -56,6 +56,7 @@ def test_script_init_common_cli(tmp_path, monkeypatch):
     DefaultConfig._reset_instance_for_testing()
 
 
+@pytest.mark.slow
 def test_full_training_loop(dataset_root, config):
     config.import_dict({'datasrc_eve': dataset_root})
     train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
@@ -89,6 +90,7 @@ def test_full_training_loop(dataset_root, config):
     harness.do_final_full_test(exp, test_data)
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(dataset_root, config):
     config.import_dict({'datasrc_eve': dataset_root})
     train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
@@ -124,6 +126,7 @@ def test_resume_from_checkpoint(dataset_root, config):
     assert exp2.last_step == len(first_steps)
 
 
+@pytest.mark.slow
 def test_elastic_resume_across_mesh_sizes(dataset_root, config):
     """A checkpoint saved under one mesh size resumes under another.
 
@@ -176,6 +179,7 @@ def test_elastic_resume_across_mesh_sizes(dataset_root, config):
                                                           first_steps)
 
 
+@pytest.mark.slow
 def test_preemption_sigterm_checkpoints_and_exits(dataset_root, config):
     """SIGTERM mid-training saves the CURRENT step and exits 143.
 
@@ -269,6 +273,7 @@ def test_preemption_handler_replaces_sig_ign():
         signal_mod.signal(signal_mod.SIGTERM, old)
 
 
+@pytest.mark.slow
 def test_preemption_during_live_validation_numbers_checkpoint_correctly(
         dataset_root, config):
     """SIGTERM during MID-TRAINING live validation saves the right step.
@@ -338,6 +343,7 @@ def test_model_seq_axes_must_divide_device_count(dataset_root, config):
         harness.Experiment(config, output_dir_base='./outputs')
 
 
+@pytest.mark.slow
 def test_auto_resume_finds_same_config_run(dataset_root, config):
     """auto_resume closes the preemption loop: a restart with identical
     argv (same config hash) resumes the newest checkpointed run; a changed
@@ -411,6 +417,7 @@ def test_cleanup_clears_stale_preemption_flag():
     assert not harness._PREEMPTION.is_set()
 
 
+@pytest.mark.slow
 def test_preemption_request_before_loop_survives_handler_install(
         dataset_root, config):
     """A preemption notice during dataset/Experiment build is honored.
@@ -443,6 +450,7 @@ def test_preemption_request_before_loop_survives_handler_install(
         harness._PREEMPTION.clear()
 
 
+@pytest.mark.slow
 def test_preemption_during_final_test_exits_143(dataset_root, config):
     """SIGTERM during the (minutes-long) final full test still exits 143.
 
@@ -470,6 +478,7 @@ def test_preemption_during_final_test_exits_143(dataset_root, config):
         harness._PREEMPTION.clear()
 
 
+@pytest.mark.slow
 def test_model_and_sequence_parallel_from_config(dataset_root, config):
     """tpu_model_parallelism / tpu_sequence_shards drive train.py itself.
 
@@ -517,6 +526,7 @@ def test_sequence_shards_must_divide_sequence_len(dataset_root, config):
         harness.Experiment(config, output_dir_base='./outputs')
 
 
+@pytest.mark.slow
 def test_pretrained_bootstrap_in_training(dataset_root, config, tmp_path,
                                           monkeypatch):
     """eye_net_load_pretrained must seed training from the release weights.
@@ -578,6 +588,7 @@ def test_pretrained_bootstrap_missing_weights_raises(dataset_root, config,
         exp.build_training(1)
 
 
+@pytest.mark.slow
 def test_multi_source_training(dataset_root, config):
     """Several training sources: one batch from EACH per step, trained on
     the summed loss in one fused step (reference training.py:240-264 +
@@ -610,6 +621,7 @@ def test_multi_source_training(dataset_root, config):
     assert seen, 'no steps ran'
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_full_batch(config):
     """N micro-batch updates under optax.MultiSteps == one full-batch step
     (same effective batch; grads average since the losses are per-batch
@@ -669,6 +681,7 @@ def test_accumulation_mesh_uses_step_batch(dataset_root, config):
     assert len(placed['x'].sharding.device_set) == 2
 
 
+@pytest.mark.slow
 def test_ragged_eval_padding_is_exact(config):
     """_pad_eval_batch pads with ZERO-validity rows: every 0-dim output is
     a validity-masked batch mean (losses.masked_mean), so the padded
@@ -724,6 +737,7 @@ def test_remat_value_normalization(config):
         config.import_dict({'tpu_remat': 'eyes'})
 
 
+@pytest.mark.slow
 def test_data_echoing_steps_per_loaded_batch(dataset_root, config):
     """train_batch_echoing=N must run N optimizer steps per LOADED batch
     (device utilization when the host pipeline is the bottleneck)."""
@@ -769,6 +783,7 @@ def _run_to_completion(dataset_root, cfg):
     return jax.tree_util.tree_map(np.asarray, exp.state.params)
 
 
+@pytest.mark.slow
 def test_fully_reproducible_runs_are_bit_identical(dataset_root, config):
     """fully_reproducible=True pins shuffle order and the kappa stream to
     seed 0: two complete runs produce bit-identical parameters (the
@@ -859,6 +874,7 @@ def test_tensorboard_add_graph(tmp_path):
     Tensorboard._reset_for_testing()
 
 
+@pytest.mark.slow
 def test_skip_training_eval_only(dataset_root, config):
     """--skip-training must still build state and run the final test.
 

@@ -38,6 +38,7 @@ COMMON_FLAGS = [
 ]
 
 
+@pytest.mark.slow
 def test_inference_pipeline(dataset_root, clean_config, tmp_path):
     from eve_tpu import infer
     from eve_tpu.utils.visualization import VideoEncoder, draw_pog_overlay
@@ -79,6 +80,7 @@ def test_inference_pipeline(dataset_root, clean_config, tmp_path):
     assert os.path.isfile(out_path) and os.path.getsize(out_path) > 1000
 
 
+@pytest.mark.slow
 def test_inference_cli_full_frame_overlay(dataset_root, clean_config,
                                           tmp_path, monkeypatch):
     """Drive inference.py's main() end to end with the full-resolution
@@ -103,6 +105,7 @@ def test_inference_cli_full_frame_overlay(dataset_root, clean_config,
     cap.release()
 
 
+@pytest.mark.slow
 def test_eval_codalab_submission(dataset_root, clean_config, tmp_path):
     import jax
     import eval_codalab
@@ -156,6 +159,7 @@ def test_eval_codalab_submission(dataset_root, clean_config, tmp_path):
     assert entry['timestamps'].dtype == np.int64
 
 
+@pytest.mark.slow
 def test_streaming_inference_carries_state(dataset_root, clean_config,
                                            tmp_path):
     from eve_tpu import infer
@@ -234,6 +238,7 @@ def test_model_setup_require_weights_checks_all_submodules(
     assert spec2 is not None and params2 is not None
 
 
+@pytest.mark.slow
 def test_mesh_eval_parity(dataset_root, clean_config, tmp_path):
     """Data-parallel evaluation (``infer.iterator(mesh=...)``) yields the
     same per-clip outputs as single-device evaluation, including the

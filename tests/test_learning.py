@@ -100,6 +100,7 @@ def test_patches_drive_the_angular_loss(config):
     assert float(jnp.abs(g).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_short_training_reduces_loss(config):
     """~25 real optimizer steps cut the full loss roughly in half (the TPU
     curve reaches 1.7 deg held-out by step 2000; this pins the same

@@ -20,6 +20,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 _WORKER = r"""
 import os, sys
 addr, pid = sys.argv[1], int(sys.argv[2])
@@ -47,6 +49,7 @@ idx = mesh_lib.local_data_slice(10)
 emit('SLICE %d %s' % (pid, ','.join(map(str, idx))))
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 mesh = mesh_lib.make_mesh()
@@ -116,6 +119,7 @@ with open(sys.argv[4], 'w') as f:
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed_cpu(tmp_path):
     port = socket.socket()
     port.bind(('127.0.0.1', 0))

@@ -68,6 +68,7 @@ def tiny_spec():
     DefaultConfig._reset_instance_for_testing()
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(tiny_spec):
     """One DP step over 4 devices == the same step on one device."""
     spec, cfg = tiny_spec
@@ -107,6 +108,7 @@ def test_sharded_step_matches_single_device(tiny_spec):
     assert len(leaf.sharding.device_set) == 4
 
 
+@pytest.mark.slow
 def test_sharded_scan_matches_lax_scan():
     """sharded_scan over a 4-way seq mesh == lax.scan, GRU-like recurrence."""
     from eve_tpu.parallel.temporal import sharded_scan
@@ -141,6 +143,7 @@ def test_sharded_scan_matches_lax_scan():
 
 
 @pytest.mark.parametrize('n_shards', [2, 4])
+@pytest.mark.slow
 def test_sharded_scan_under_jit_and_grad(n_shards):
     from eve_tpu.parallel.temporal import sharded_scan
 
@@ -169,6 +172,7 @@ def test_sharded_scan_under_jit_and_grad(n_shards):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_multi_step_trajectory_parity_2d_mesh(tiny_spec):
     """TEN training steps on the 2D (data x seq) mesh track the
     single-device trajectory (params AND per-step metrics), and the EVAL
@@ -240,6 +244,7 @@ def test_multi_step_trajectory_parity_2d_mesh(tiny_spec):
                                float(out_a['full_loss']), rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_data_and_sequence_parallel_train_step(tiny_spec):
     """2D (data x seq) mesh train step == single-device step.
 
@@ -337,6 +342,7 @@ def test_sharded_scan_rejects_inconsistent_batch_leaves():
                      mesh, axis_name='seq', batch_axis='data')
 
 
+@pytest.mark.slow
 def test_data_model_and_sequence_parallel_train_step(tiny_spec):
     """3D (data x model x seq) mesh train step == single-device step.
 

@@ -597,6 +597,7 @@ def test_create_images_outputs_vs_reference(ref):
             ref.config.override(k, getattr(type(ref.config), k))
 
 
+@pytest.mark.slow
 def test_full_loss_gradients_vs_reference(ref):
     """End-to-end GRADIENT parity: d full_loss / d params matches the
     reference's torch autograd with shared weights — pins the whole

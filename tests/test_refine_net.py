@@ -94,6 +94,7 @@ def _fake_refine_state_dict():
     return sd
 
 
+@pytest.mark.slow
 def test_converter_produces_loadable_params(rng):
     """Converted reference-layout weights drive a real forward pass."""
     sd = _fake_refine_state_dict()

@@ -48,6 +48,7 @@ def _direct(spec, params, clip):
                            output_predictions=True)
 
 
+@pytest.mark.slow
 def test_engine_matches_direct_forward(spec, params):
     engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=200.0)
     try:
@@ -123,6 +124,7 @@ def test_concurrent_sessions_stay_isolated_and_ordered(spec, params):
         engine.stop()
 
 
+@pytest.mark.slow
 def test_mixed_signatures_are_batched_separately(spec, params):
     """Requests with different (shape, dtype) signatures submitted together
     are deferred into separate batches, each with its own compilation, and
@@ -703,6 +705,7 @@ def test_http_served_outputs_follow_engine(spec, params):
         engine.stop()
 
 
+@pytest.mark.slow
 def test_mesh_serving_matches_single_device(spec, params):
     """Data-parallel serving: a mesh engine's results equal the
     single-device engine's (batch slots shard over the 'data' axis,

@@ -35,6 +35,7 @@ def small_setup(config, refine=False):
     return spec, tx, state, batch
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(config):
     # Small LR and a fixed rng (fixed kappa) make the objective
     # deterministic so Adam must make progress.
@@ -125,6 +126,7 @@ def test_frozen_eye_net_gets_no_updates(config):
     assert max(diffs) > 0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(config, tmp_path):
     spec, tx, state, batch = small_setup(config)
     train_step = step_lib.make_train_step(spec, tx, donate=False)
@@ -205,6 +207,7 @@ def test_schedule_cyclic_matches_host_reference(config):
                                    rtol=1e-5, err_msg='step %d' % step)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(config):
     """jax.checkpoint rematerialization changes memory, not numerics."""
     import dataclasses
