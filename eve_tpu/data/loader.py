@@ -93,7 +93,30 @@ class DataLoader:
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
         self.indices = None if indices is None else list(indices)
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        # Epoch position: the shuffle order is derived from (seed, epoch)
+        # — NOT from a mutating RandomState — so a resumed run can
+        # reconstruct exactly where an interrupted run's data stream stood
+        # (see fast_forward). ``epoch`` counts fully consumed iterations;
+        # ``_skip_next`` skips already-consumed batches of a partial epoch.
+        self.epoch = 0
+        self._skip_next = 0
+
+    def fast_forward(self, num_batches):
+        """Position the loader as if ``num_batches`` had already been drawn.
+
+        Exact-resume support: the training harness calls this when
+        resuming from a checkpoint so the data stream continues where the
+        interrupted run stood (same epoch, same position, same shuffle)
+        instead of replaying from epoch 0 — with ``fully_reproducible``
+        this makes interrupted-and-resumed training bit-identical to an
+        uninterrupted run (tests/test_harness.py).
+        """
+        per_epoch = len(self)
+        if per_epoch <= 0:
+            return
+        self.epoch = num_batches // per_epoch
+        self._skip_next = num_batches % per_epoch
 
     @property
     def num_entries(self):
@@ -111,7 +134,10 @@ class DataLoader:
                  else np.arange(len(self.dataset)))
         if self.shuffle:
             order = order.copy()
-            self._rng.shuffle(order)
+            # Stateless per-epoch derivation (seed, epoch) -> order.
+            np.random.RandomState(
+                (self.seed * 1000003 + self.epoch) % (2 ** 32)
+            ).shuffle(order)
         batches = []
         for i in range(0, len(order), self.batch_size):
             chunk = order[i:i + self.batch_size]
@@ -122,6 +148,15 @@ class DataLoader:
 
     def __iter__(self):
         batches = self._index_batches()
+        if self._skip_next:
+            batches = batches[self._skip_next:]
+            self._skip_next = 0
+        yield from self._iter_batches(batches)
+        # A fully consumed iteration advances the epoch; an abandoned one
+        # (preemption, early break) leaves the position to fast_forward.
+        self.epoch += 1
+
+    def _iter_batches(self, batches):
         if self.num_workers == 0:
             for chunk in batches:
                 yield collate([self.dataset[int(i)] for i in chunk])

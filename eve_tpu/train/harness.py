@@ -677,8 +677,23 @@ def main_loop_iterator(exp, train_data, test_data):
             exp.spec, exp.tx, tags=sorted(train_data),
             seq_mesh=exp.seq_mesh)
 
-    rng = jax.random.PRNGKey(training_seed(config))
+    # Kappa-augmentation stream: keyed per STEP (fold_in) rather than a
+    # serially split chain, so a resumed run draws exactly the kappas the
+    # uninterrupted run would have drawn at each step.
+    base_rng = jax.random.PRNGKey(training_seed(config))
     iterators = {}
+
+    if exp.last_step > 0:
+        # Exact resume: continue the data stream where the interrupted run
+        # stood instead of replaying from epoch 0. One batch is loaded per
+        # `echo` micro-steps, so the stream position is last_step // echo
+        # (a partial echo group reloads its batch). With
+        # fully_reproducible, interrupted+resumed training is then
+        # bit-identical to an uninterrupted run.
+        for data_dict in train_data.values():
+            loader = data_dict['dataloader']
+            if hasattr(loader, 'fast_forward'):
+                loader.fast_forward(exp.last_step // echo)
 
     def next_batch(tag, data_dict):
         for attempt in range(2):
@@ -747,7 +762,7 @@ def main_loop_iterator(exp, train_data, test_data):
             else:
                 device_batch, first_batch = echo_cache
 
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(base_rng, current_step)
             exp.state, metrics = exp.train_step(exp.state, device_batch, sub)
             # exp.state now holds step current_step's update, so record it
             # HERE, not at the end of the iteration: live validation (and

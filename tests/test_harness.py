@@ -810,6 +810,96 @@ def test_fully_reproducible_runs_are_bit_identical(dataset_root, config):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
+def test_interrupted_resume_is_bit_identical(dataset_root, config):
+    """EXACT resume: a run interrupted at the halfway checkpoint and
+    resumed must be bit-identical to an uninterrupted run. This requires
+    (a) the loader continuing the data stream where it stood — epoch-
+    seeded shuffles + fast_forward — not replaying epoch 0, and (b) the
+    kappa stream keyed per step (fold_in), not serially split from the
+    loop entry. The reference restarts its DataLoader from scratch on
+    --resume-from, so its resumed runs silently train on different data
+    than the uninterrupted schedule."""
+    import jax
+    config.import_dict({'datasrc_eve': dataset_root,
+                        'fully_reproducible': True, 'num_epochs': 4.0})
+    params_full = _run_to_completion(dataset_root, config)
+
+    def clone_config(extra):
+        DefaultConfig._reset_instance_for_testing()
+        Tensorboard._reset_for_testing()
+        cfg = harness.script_init_common(argv=[])
+        cfg.import_dict(dict(
+            {k: v for k, v in config.get_all_key_values().items()
+             if not isinstance(getattr(DefaultConfig, k, None), property)
+             and hasattr(DefaultConfig, k)}), strict=False)
+        cfg.import_dict(extra)
+        return cfg
+
+    # Interrupted run: first half only, then resume to the full length.
+    cfg_half = clone_config({'num_epochs': 2.0})
+    train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
+                    dataset_root, ['image'], ['webcam_c'])]
+    val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
+                  dataset_root, ['image'], ['webcam_c'])]
+    train_data, test_data = harness.init_datasets(cfg_half, train_specs,
+                                                  val_specs)
+    exp = harness.Experiment(cfg_half, output_dir_base='./outputs')
+    half_steps = [s for s, _, _ in harness.main_loop_iterator(
+        exp, train_data, test_data)]
+    assert half_steps, 'interrupted run executed no steps'
+    half_dir = exp.output_dir
+
+    cfg_resume = clone_config({'num_epochs': 4.0, 'resume_from': half_dir})
+    train_data2, test_data2 = harness.init_datasets(cfg_resume, train_specs,
+                                                    val_specs)
+    exp2 = harness.Experiment(cfg_resume, output_dir_base='./outputs')
+    resumed_steps = [s for s, _, _ in harness.main_loop_iterator(
+        exp2, train_data2, test_data2)]
+    assert resumed_steps and resumed_steps[0] == len(half_steps)
+
+    params_resumed = jax.tree_util.tree_map(np.asarray, exp2.state.params)
+    flat_a = jax.tree_util.tree_leaves_with_path(params_full)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params_resumed))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            leaf, flat_b[path],
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_loader_fast_forward_matches_fresh_stream(dataset_root, config,
+                                                  tmp_path):
+    """fast_forward(n) reproduces exactly the index stream a fresh loader
+    yields after discarding n batches, across epoch boundaries."""
+    from eve_tpu.data import loader as loader_lib
+
+    class IndexDataset:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {'idx': np.asarray([i])}
+
+    def stream(loader, n):
+        out = []
+        while len(out) < n:
+            for b in loader:
+                out.append(int(b['idx'][0, 0]))
+                if len(out) == n:
+                    break
+        return out
+
+    ref = stream(loader_lib.DataLoader(IndexDataset(), batch_size=2,
+                                       shuffle=True, drop_last=True,
+                                       num_workers=0, seed=7), 8)
+    for skip in (1, 2, 3, 5, 7):
+        ff = loader_lib.DataLoader(IndexDataset(), batch_size=2,
+                                   shuffle=True, drop_last=True,
+                                   num_workers=0, seed=7)
+        ff.fast_forward(skip)
+        assert stream(ff, 8 - skip) == ref[skip:], skip
+
+
 def test_training_seed_entropy_when_not_reproducible(config):
     """With the flag off, each process draws a fresh seed (runs explore
     different shuffles), and the seed is cached within the process."""
