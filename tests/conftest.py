@@ -21,15 +21,22 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: the suite re-jits large models across many
 # test processes; caching cuts repeat runs from minutes to seconds.
-# The cache key includes the host CPU feature set: XLA:CPU AOT results
+# The cache key includes the host CPU identity: XLA:CPU AOT results
 # compiled on a different machine load with mismatched ISA features and can
-# produce garbage numerics (observed as NaNs), so never share across hosts.
+# produce garbage numerics (observed as NaNs) or kill server threads.
+# Hashing the cpuinfo `flags` line alone is NOT enough: LLVM derives
+# microarchitecture-specific features (e.g. +prefer-no-scatter) from the
+# CPUID family/model, so two VMs with identical flags but different CPU
+# models (observed: a cache built elsewhere failed here with "Target
+# machine feature +prefer-no-scatter is not supported on the host
+# machine") poison each other — include family/model/stepping in the key.
 import hashlib  # noqa: E402
 
 try:
     with open('/proc/cpuinfo') as f:
         _cpu_sig = hashlib.md5(
-            ''.join(line for line in f if line.startswith('flags'))
+            ''.join(line for line in f if line.startswith(
+                ('flags', 'vendor_id', 'cpu family', 'model', 'stepping')))
             .encode()).hexdigest()[:8]
 except OSError:
     _cpu_sig = 'unknown'

@@ -492,6 +492,13 @@ def test_http_server_round_trip(spec, params):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     host, port = server.server_address
+    [clip] = _clips(4, 1)
+    # Compile the comparison forward BEFORE opening the connection: a cold
+    # jit here takes ~1 min on a 1-core host, and the reference comparison
+    # below would otherwise idle the keep-alive connection past the
+    # server's 15 s timeout (the server then correctly closes it and the
+    # later /v1/stats request would see RemoteDisconnected).
+    ref = _direct(spec, params, clip)
     try:
         conn = http.client.HTTPConnection(host, port, timeout=300)
 
@@ -503,7 +510,6 @@ def test_http_server_round_trip(spec, params):
         conn.request('POST', '/v1/sessions')
         sid = json.loads(conn.getresponse().read())['session_id']
 
-        [clip] = _clips(4, 1)
         buf = io.BytesIO()
         np.savez(buf, **clip)
         conn.request('POST', '/v1/infer', body=buf.getvalue(),
@@ -514,7 +520,6 @@ def test_http_server_round_trip(spec, params):
         with np.load(io.BytesIO(resp.read())) as z:
             out = {k: z[k] for k in z.files}
         assert set(out) <= set(DEFAULT_SERVED_OUTPUTS)
-        ref = _direct(spec, params, clip)
         np.testing.assert_allclose(out['PoG_px_final'],
                                    np.asarray(ref['PoG_px_final'])[0],
                                    rtol=1e-4, atol=1e-3)
