@@ -65,6 +65,22 @@ def test_reference_json_configs_import(config):
     assert config.load_screen_content is True
 
 
+def test_video_decoder_codec_warns_on_nvdec(config, caplog):
+    """The reference honors nvdec/h264_cuvid hardware decode
+    (src/datasources/common.py:112-117); TPU hosts have no NVDEC, so the
+    key is accepted for config compatibility but must WARN instead of
+    silently doing nothing."""
+    import logging
+    with caplog.at_level(logging.WARNING, logger='eve_tpu.config'):
+        config.override('video_decoder_codec', 'nvdec')
+    assert any('not supported on TPU hosts' in r.getMessage()
+               for r in caplog.records), caplog.records
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger='eve_tpu.config'):
+        config.override('video_decoder_codec', 'libx264')
+    assert not caplog.records
+
+
 def test_full_json_and_provenance(config, tmp_path):
     full = json.loads(config.get_full_json())
     assert full['batch_size'] == config.batch_size
