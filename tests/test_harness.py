@@ -811,7 +811,8 @@ def test_fully_reproducible_runs_are_bit_identical(dataset_root, config):
 
 
 @pytest.mark.slow
-def test_interrupted_resume_is_bit_identical(dataset_root, config):
+@pytest.mark.parametrize('echo', [1, 2])
+def test_interrupted_resume_is_bit_identical(dataset_root, config, echo):
     """EXACT resume: a run interrupted at the halfway checkpoint and
     resumed must be bit-identical to an uninterrupted run. This requires
     (a) the loader continuing the data stream where it stood — epoch-
@@ -819,10 +820,15 @@ def test_interrupted_resume_is_bit_identical(dataset_root, config):
     kappa stream keyed per step (fold_in), not serially split from the
     loop entry. The reference restarts its DataLoader from scratch on
     --resume-from, so its resumed runs silently train on different data
-    than the uninterrupted schedule."""
+    than the uninterrupted schedule.
+
+    echo=2 pins the batch-echoing interaction: the stream position is
+    counted in LOADED batches (last_step // echo), and a run resumed
+    mid-echo-group must reload the group's batch before continuing."""
     import jax
     config.import_dict({'datasrc_eve': dataset_root,
-                        'fully_reproducible': True, 'num_epochs': 4.0})
+                        'fully_reproducible': True, 'num_epochs': 4.0,
+                        'train_batch_echoing': echo})
     params_full = _run_to_completion(dataset_root, config)
 
     def clone_config(extra):
@@ -836,8 +842,11 @@ def test_interrupted_resume_is_bit_identical(dataset_root, config):
         cfg.import_dict(extra)
         return cfg
 
-    # Interrupted run: first half only, then resume to the full length.
-    cfg_half = clone_config({'num_epochs': 2.0})
+    # Interrupted run: break mid-run (the way a preemption would) and
+    # checkpoint the current step. With echo=2 the interrupt point is
+    # forced ODD, i.e. inside an echo group, so the resumed run must
+    # reload that group's batch rather than skip past it.
+    cfg_half = clone_config({'num_epochs': 4.0})
     train_specs = [('eve_train', harness.DATASET_CLASSES['train'],
                     dataset_root, ['image'], ['webcam_c'])]
     val_specs = [('eve_val', harness.DATASET_CLASSES['train'],
@@ -845,9 +854,14 @@ def test_interrupted_resume_is_bit_identical(dataset_root, config):
     train_data, test_data = harness.init_datasets(cfg_half, train_specs,
                                                   val_specs)
     exp = harness.Experiment(cfg_half, output_dir_base='./outputs')
-    half_steps = [s for s, _, _ in harness.main_loop_iterator(
-        exp, train_data, test_data)]
+    half_steps = []
+    for s, _, _ in harness.main_loop_iterator(exp, train_data, test_data):
+        half_steps.append(s)
+        done = len(half_steps)
+        if done >= 3 and (echo == 1 or done % echo != 0):
+            break
     assert half_steps, 'interrupted run executed no steps'
+    harness.save_checkpoint(exp, len(half_steps))
     half_dir = exp.output_dir
 
     cfg_resume = clone_config({'num_epochs': 4.0, 'resume_from': half_dir})
