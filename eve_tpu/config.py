@@ -251,6 +251,16 @@ class DefaultConfig(object):
     # only) | 'all'.
     tpu_remat = 'none'
 
+    # Write periodic checkpoints on a background thread: the state is
+    # snapshotted to host memory synchronously (so the bytes are exactly
+    # this step's state) and serialization/disk IO overlap training.
+    # A blocking save of the flagship state costs seconds (BASELINE.md
+    # "Checkpoint save cost") — at the reference's 100-step cadence
+    # that is a double-digit share of training wall-clock. Preemption and
+    # final checkpoints always complete before exit. Off = reference-style
+    # blocking saves.
+    tpu_async_checkpoint = True
+
     # Data echoing: step the optimizer N times per LOADED batch (each step
     # re-draws the kappa-augmentation stream). When the host input
     # pipeline is the bottleneck — measured at ~1% of the device compute

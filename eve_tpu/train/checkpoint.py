@@ -7,15 +7,20 @@ parameters are split into one file per top-level prefix (``eye_net``,
 ``optimizer_<i>``; newest ``checkpoints_keep_n`` retained; the step number is
 recovered from the directory name.
 
-TPU-native adaptations: parameters stored as ``.npz`` of '/'-flattened
-pytrees; writes are atomic (tmp dir + rename) for preemption safety
-(SURVEY.md section 5.3); loads merge all non-optimizer ``.npz`` files found.
+TPU-native adaptations: parameters AND optimizer state stored as ``.npz``
+of '/'-flattened pytrees (empty optax nodes ride an ``__empty__``
+sentinel; ``optimizer_0.msgpack`` from older runs still loads); writes are
+atomic (tmp dir + rename) for preemption safety (SURVEY.md section 5.3)
+and can run on a background writer thread (``save_at_step(wait=False)``)
+after a synchronous owned-memory snapshot, so training never blocks on
+serialization/disk; loads merge all non-optimizer ``.npz`` files found.
 """
 
 import glob
 import logging
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import numpy as np
@@ -26,14 +31,42 @@ logger = logging.getLogger(__name__)
 
 _SUFFIX = '.ckpt'
 
+# Sentinel npz key marking an EMPTY dict node (e.g. optax's EmptyState
+# inside a chain): flatten_tree would otherwise emit no key for it and
+# from_state_dict on load would report the node as missing.
+_EMPTY = '__empty__'
+
+# One process-wide writer thread: checkpoint writes from any manager
+# serialize through it (single disk; bounded memory — at most one
+# snapshot in flight per manager). Lazily created on first async save so
+# sync-only use (most tests) never spawns it; Python joins the non-daemon
+# worker at interpreter exit, so an in-flight write always completes even
+# if the caller exits without waiting.
+_writer = None
+
+
+def _writer_executor():
+    global _writer
+    if _writer is None:
+        _writer = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix='ckpt-writer')
+    return _writer
+
 
 def flatten_tree(tree, prefix=''):
-    """Pytree of arrays -> {'a/b/c': array} with string keys."""
+    """Pytree of arrays -> {'a/b/c': array} with string keys.
+
+    Empty dict nodes are recorded as ``path/__empty__`` sentinels so the
+    structure round-trips through unflatten_tree + from_state_dict.
+    """
     out = {}
     state = flax.serialization.to_state_dict(tree)
 
     def rec(node, path):
         if isinstance(node, dict):
+            if not node and path:
+                out['/'.join(path + (_EMPTY,))] = np.zeros(0, np.uint8)
+                return
             for k, v in node.items():
                 rec(v, path + (str(k),))
         else:
@@ -51,8 +84,24 @@ def unflatten_tree(flat):
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+        if parts[-1] == _EMPTY:
+            continue  # the setdefault walk above already created the dict
         node[parts[-1]] = value
     return root
+
+
+def _host_snapshot(tree):
+    """Fetch a pytree to host memory the caller OWNS.
+
+    ``jax.device_get`` on the CPU backend can return zero-copy views of
+    the device buffers; the fused train step DONATES its state buffers,
+    so a view would be overwritten mid-write by the next step. Copying
+    decouples the snapshot (cheap: host memcpy) from the device arrays.
+    """
+    host = jax.device_get(tree)
+    return jax.tree_util.tree_map(
+        lambda x: np.array(x, copy=True) if isinstance(x, np.ndarray)
+        else x, host)
 
 
 class CheckpointManager:
@@ -61,6 +110,7 @@ class CheckpointManager:
     def __init__(self, output_dir, keep_n=3):
         self.output_dir = output_dir
         self.keep_n = keep_n
+        self._pending = None  # outstanding async write (at most one)
 
     @property
     def checkpoint_dir(self):
@@ -69,24 +119,54 @@ class CheckpointManager:
     def _step_dir(self, step):
         return os.path.join(self.checkpoint_dir, ('%07d' % step) + _SUFFIX)
 
-    def save_at_step(self, step, state):
-        """Atomically write params (per top-level prefix) + optimizer state."""
+    def save_at_step(self, step, state, wait=True):
+        """Atomically write params (per top-level prefix) + optimizer state.
+
+        ``wait=False`` returns after snapshotting the state to host memory
+        and hands the file write to a background thread — a blocking save
+        of the flagship state costs seconds (dominated by serialization,
+        BASELINE.md "Checkpoint save cost"), which at the reference's
+        100-step cadence is a double-digit percentage of training
+        wall-clock. The snapshot is synchronous, so the written bytes are
+        exactly the state at this step regardless of later updates. Any
+        error surfaces on the next save/load/wait_for_writes call; an
+        in-flight write also completes at interpreter exit.
+        """
+        # Serialize with the previous write (and surface its error) BEFORE
+        # snapshotting, so at most one snapshot (~2x model size of host
+        # memory) is alive at a time.
+        self.wait_for_writes()
+        params = _host_snapshot(state.params)
+        opt_state = _host_snapshot(state.opt_state)
+        self._pending = _writer_executor().submit(
+            self._write, step, params, opt_state)
+        if wait:
+            self.wait_for_writes()
+        return self._step_dir(step)
+
+    def wait_for_writes(self):
+        """Join the outstanding async write, re-raising its error (if any)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def _write(self, step, params, opt_state):
         final_dir = self._step_dir(step)
         tmp_dir = final_dir + '.tmp'
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)
         os.makedirs(tmp_dir)
 
-        params = jax.device_get(state.params)
         for prefix, subtree in params.items():
             flat = flatten_tree(subtree)
             np.savez(os.path.join(tmp_dir, prefix + '.npz'), **flat)
 
-        # Optimizer state uses msgpack: optax states contain empty nodes
-        # that a flat npz cannot represent.
-        with open(os.path.join(tmp_dir, 'optimizer_0.msgpack'), 'wb') as f:
-            f.write(flax.serialization.to_bytes(
-                jax.device_get(state.opt_state)))
+        # Optimizer state as flattened npz like the params (empty optax
+        # nodes ride the __empty__ sentinel). npz writes the raw array
+        # bytes (~25x faster than flax's msgpack encoding for this state,
+        # BASELINE.md); .msgpack checkpoints from older runs still load.
+        np.savez(os.path.join(tmp_dir, 'optimizer_0.npz'),
+                 **flatten_tree(opt_state))
 
         if os.path.isdir(final_dir):
             shutil.rmtree(final_dir)
@@ -118,6 +198,7 @@ class CheckpointManager:
 
     def load(self, path, state, load_optimizer=True):
         """Load a checkpoint directory into a TrainState (template-shaped)."""
+        self.wait_for_writes()  # never read around an in-flight write
         params = dict(jax.device_get(state.params))
         for npz_path in glob.glob(os.path.join(path, '*.npz')):
             name = os.path.basename(npz_path)[:-len('.npz')]
@@ -135,12 +216,20 @@ class CheckpointManager:
             logger.info('> Loaded model parameters from: %s', npz_path)
 
         opt_state = state.opt_state
-        opt_path = os.path.join(path, 'optimizer_0.msgpack')
-        if load_optimizer and os.path.isfile(opt_path):
-            with open(opt_path, 'rb') as f:
+        opt_npz = os.path.join(path, 'optimizer_0.npz')
+        opt_msgpack = os.path.join(path, 'optimizer_0.msgpack')
+        if load_optimizer and os.path.isfile(opt_npz):
+            with np.load(opt_npz) as data:
+                flat = {k: data[k] for k in data.files}
+            opt_state = flax.serialization.from_state_dict(
+                state.opt_state, unflatten_tree(flat))
+            logger.info('> Loaded optimizer state from: %s', opt_npz)
+        elif load_optimizer and os.path.isfile(opt_msgpack):
+            # Checkpoints written before the npz optimizer format.
+            with open(opt_msgpack, 'rb') as f:
                 opt_state = flax.serialization.from_bytes(
                     state.opt_state, f.read())
-            logger.info('> Loaded optimizer state from: %s', opt_path)
+            logger.info('> Loaded optimizer state from: %s', opt_msgpack)
 
         step = int(os.path.basename(path)[:-len(_SUFFIX)])
         import jax.numpy as jnp

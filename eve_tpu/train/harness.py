@@ -589,8 +589,12 @@ def _preemption_agreed(sync=True):
     return agreed
 
 
-def save_checkpoint(exp, step):
+def save_checkpoint(exp, step, wait=True):
     """Checkpoint ``exp.state`` at ``step`` (multi-host correct).
+
+    ``wait=False`` hands the file write to the checkpoint manager's
+    background writer after a synchronous host snapshot (the gather below
+    is a collective and must stay on the caller thread on every host).
 
     The host fetch happens on EVERY process — for cross-host
     model-sharded parameters it is a collective gather
@@ -611,7 +615,7 @@ def save_checkpoint(exp, step):
             opt_state=mesh_lib.gather_to_host(state.opt_state,
                                               skip_local=skip_local))
     if mesh_lib.is_primary_process():
-        exp.checkpoint_manager.save_at_step(step, state)
+        exp.checkpoint_manager.save_at_step(step, state, wait=wait)
 
 
 def _exit_for_preemption(exp, train_data, test_data):
@@ -855,7 +859,12 @@ def main_loop_iterator(exp, train_data, test_data):
                 abort_if_nan(metrics)  # never persist NaN parameters
                 # The save interval is a pure function of the step, so
                 # every host enters save_checkpoint's collective together.
-                save_checkpoint(exp, current_step + 1)
+                # Periodic saves overlap training via the background
+                # writer (a blocking save costs seconds — BASELINE.md
+                # "Checkpoint save cost"); preemption/final saves and all
+                # loads join it.
+                save_checkpoint(exp, current_step + 1,
+                                wait=not config.tpu_async_checkpoint)
 
             if step_modulo(current_step, config.test_every_n_steps):
                 abort_if_nan(metrics)

@@ -137,7 +137,7 @@ def test_checkpoint_roundtrip(config, tmp_path):
     # Layout: per-prefix npz + optimizer file inside a %07d.ckpt dir
     d = tmp_path / 'checkpoints' / '0000001.ckpt'
     assert (d / 'eye_net.npz').is_file()
-    assert (d / 'optimizer_0.msgpack').is_file()
+    assert (d / 'optimizer_0.npz').is_file()
 
     fresh = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(9))
     restored, step = mgr.load_last_checkpoint(fresh)
@@ -153,6 +153,85 @@ def test_checkpoint_roundtrip(config, tmp_path):
     s2, m2 = train_step(restored, batch, jax.random.PRNGKey(5))
     np.testing.assert_allclose(float(m1['full_loss']),
                                float(m2['full_loss']), rtol=1e-6)
+
+
+def test_checkpoint_async_save_matches_sync(config, tmp_path):
+    """save_at_step(wait=False) snapshots synchronously and writes in the
+    background: after wait_for_writes the checkpoint is byte-equivalent
+    to a blocking save of the same state, and further device updates
+    between submit and write completion cannot leak into it (the snapshot
+    owns its memory — the train step donates the state buffers)."""
+    spec, tx, state, batch = small_setup(config)
+    train_step = step_lib.make_train_step(spec, tx, donate=False)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(2))
+
+    sync_mgr = ckpt_lib.CheckpointManager(str(tmp_path / 'sync'), keep_n=3)
+    sync_mgr.save_at_step(1, state)
+    async_mgr = ckpt_lib.CheckpointManager(str(tmp_path / 'async'), keep_n=3)
+    async_mgr.save_at_step(1, state, wait=False)
+    # Keep training while the write is (possibly) still in flight.
+    state2, _ = train_step(state, batch, jax.random.PRNGKey(3))
+    async_mgr.wait_for_writes()
+
+    fresh = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(9))
+    restored_sync, s1 = sync_mgr.load_last_checkpoint(fresh)
+    restored_async, s2 = async_mgr.load_last_checkpoint(fresh)
+    assert (s1, s2) == (1, 1)
+    for tree_a, tree_b in ((restored_sync.params, restored_async.params),
+                           (restored_sync.opt_state,
+                            restored_async.opt_state)):
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(jax.device_get(tree_a)),
+                jax.tree_util.tree_leaves_with_path(jax.device_get(tree_b))):
+            np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_checkpoint_async_write_error_surfaces(config, tmp_path):
+    """A failed background write must not be silent: the error re-raises
+    on the next wait_for_writes / save / load instead of the run
+    continuing under the belief that checkpoints exist."""
+    import shutil
+    spec, tx, state, batch = small_setup(config)
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path), keep_n=3)
+    mgr.save_at_step(1, state)
+    # Make the writer fail: a FILE squatting on the checkpoints dir path
+    # (chmod tricks don't work — the suite runs as root, which bypasses
+    # permission bits).
+    shutil.rmtree(tmp_path / 'checkpoints')
+    (tmp_path / 'checkpoints').write_bytes(b'squatter')
+    try:
+        mgr.save_at_step(2, state, wait=False)
+        with pytest.raises(OSError):
+            mgr.wait_for_writes()
+        mgr.wait_for_writes()  # error is consumed, not re-raised forever
+    finally:
+        os.remove(tmp_path / 'checkpoints')
+
+
+def test_checkpoint_loads_legacy_msgpack_optimizer(config, tmp_path):
+    """Checkpoints written before the npz optimizer format (a
+    flax-msgpack optimizer_0.msgpack) still restore optimizer state."""
+    import flax.serialization
+    spec, tx, state, batch = small_setup(config)
+    train_step = step_lib.make_train_step(spec, tx, donate=False)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(2))
+
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path), keep_n=3)
+    mgr.save_at_step(1, state)
+    d = tmp_path / 'checkpoints' / '0000001.ckpt'
+    with open(d / 'optimizer_0.msgpack', 'wb') as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state.opt_state)))
+    os.remove(d / 'optimizer_0.npz')
+
+    fresh = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(9))
+    restored, step = mgr.load_last_checkpoint(fresh)
+    assert step == 1
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(state.opt_state)),
+            jax.tree_util.tree_leaves_with_path(
+                jax.device_get(restored.opt_state))):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
 
 
 def test_checkpoint_pruning(config, tmp_path):
