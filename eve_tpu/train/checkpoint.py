@@ -36,12 +36,12 @@ _SUFFIX = '.ckpt'
 # from_state_dict on load would report the node as missing.
 _EMPTY = '__empty__'
 
-# One process-wide writer thread: checkpoint writes from any manager
-# serialize through it (single disk; bounded memory — at most one
-# snapshot in flight per manager). Lazily created on first async save so
-# sync-only use (most tests) never spawns it; Python joins the non-daemon
-# worker at interpreter exit, so an in-flight write always completes even
-# if the caller exits without waiting.
+# One process-wide writer thread: async checkpoint writes from any
+# manager serialize through it (single disk; bounded memory — at most
+# one snapshot in flight per manager). Created on the first ASYNC save
+# only (blocking saves write inline on the caller thread); Python joins
+# the non-daemon worker at interpreter exit, so an in-flight write
+# always completes even if the caller exits without waiting.
 _writer = None
 
 
@@ -136,12 +136,18 @@ class CheckpointManager:
         # snapshotting, so at most one snapshot (~2x model size of host
         # memory) is alive at a time.
         self.wait_for_writes()
+        if wait:
+            # Blocking save: write inline — the caller blocks until the
+            # write completes, so no later (buffer-donating) train step
+            # can overwrite the fetched arrays mid-write; the defensive
+            # snapshot copy is unnecessary and sync-only use never spawns
+            # the writer thread.
+            return self._write(step, jax.device_get(state.params),
+                               jax.device_get(state.opt_state))
         params = _host_snapshot(state.params)
         opt_state = _host_snapshot(state.opt_state)
         self._pending = _writer_executor().submit(
             self._write, step, params, opt_state)
-        if wait:
-            self.wait_for_writes()
         return self._step_dir(step)
 
     def wait_for_writes(self):
@@ -238,6 +244,11 @@ class CheckpointManager:
 
     def load_last_checkpoint(self, state, load_optimizer=True):
         """Load the newest checkpoint; returns (state, step) or (state, 0)."""
+        # Join BEFORE scanning the directory, not just before reading
+        # (load() also joins): an in-flight async write means the newest
+        # checkpoint may not be renamed into place yet, and the writer's
+        # prune may remove a dir between the glob and the read.
+        self.wait_for_writes()
         available = self._available()
         if not available:
             return state, 0

@@ -749,7 +749,8 @@ def main_loop_iterator(exp, train_data, test_data):
                 profiling = True
 
             # Data echoing: reuse each loaded batch `echo` times (the kappa
-            # augmentation stream still differs per step via `rng`) — a
+            # augmentation stream still differs per step: `sub` below is
+            # fold_in(base_rng, current_step)) — a
             # device-utilization lever when the host pipeline is the
             # bottleneck (BASELINE.md "Host-pipeline scaling").
             if echo == 1 or echo_cache is None or current_step % echo == 0:

@@ -881,8 +881,7 @@ def test_interrupted_resume_is_bit_identical(dataset_root, config, echo):
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_loader_fast_forward_matches_fresh_stream(dataset_root, config,
-                                                  tmp_path):
+def test_loader_fast_forward_matches_fresh_stream():
     """fast_forward(n) reproduces exactly the index stream a fresh loader
     yields after discarding n batches, across epoch boundaries."""
     from eve_tpu.data import loader as loader_lib

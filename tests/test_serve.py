@@ -493,13 +493,13 @@ def test_http_server_round_trip(spec, params):
     thread.start()
     host, port = server.server_address
     [clip] = _clips(4, 1)
-    # Compile the comparison forward BEFORE opening the connection: a cold
-    # jit here takes ~1 min on a 1-core host, and the reference comparison
-    # below would otherwise idle the keep-alive connection past the
-    # server's 15 s timeout (the server then correctly closes it and the
-    # later /v1/stats request would see RemoteDisconnected).
-    ref = _direct(spec, params, clip)
     try:
+        # Compile the comparison forward BEFORE opening the connection: a
+        # cold jit here takes ~1 min on a 1-core host, and the reference
+        # comparison below would otherwise idle the keep-alive connection
+        # past the server's 15 s timeout (the server then correctly closes
+        # it and the later /v1/stats request would see RemoteDisconnected).
+        ref = _direct(spec, params, clip)
         conn = http.client.HTTPConnection(host, port, timeout=300)
 
         conn.request('GET', '/healthz')
