@@ -811,8 +811,9 @@ def test_fully_reproducible_runs_are_bit_identical(dataset_root, config):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('echo', [1, 2])
-def test_interrupted_resume_is_bit_identical(dataset_root, config, echo):
+@pytest.mark.parametrize('echo,accum', [(1, 1), (2, 1), (1, 2)])
+def test_interrupted_resume_is_bit_identical(dataset_root, config, echo,
+                                             accum):
     """EXACT resume: a run interrupted at the halfway checkpoint and
     resumed must be bit-identical to an uninterrupted run. This requires
     (a) the loader continuing the data stream where it stood — epoch-
@@ -824,11 +825,16 @@ def test_interrupted_resume_is_bit_identical(dataset_root, config, echo):
 
     echo=2 pins the batch-echoing interaction: the stream position is
     counted in LOADED batches (last_step // echo), and a run resumed
-    mid-echo-group must reload the group's batch before continuing."""
+    mid-echo-group must reload the group's batch before continuing.
+    accum=2 interrupts mid gradient-accumulation group: the optax
+    MultiSteps state (inner-step counter + gradient accumulator) must
+    round-trip through the npz checkpoint for the resumed update to
+    match."""
     import jax
     config.import_dict({'datasrc_eve': dataset_root,
                         'fully_reproducible': True, 'num_epochs': 4.0,
-                        'train_batch_echoing': echo})
+                        'train_batch_echoing': echo,
+                        'gradient_accumulation_steps': accum})
     params_full = _run_to_completion(dataset_root, config)
 
     def clone_config(extra):
