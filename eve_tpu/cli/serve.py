@@ -42,7 +42,9 @@ def main(argv=None):
         max_batch=config.serve_max_batch,
         max_delay_ms=config.serve_max_delay_ms,
         max_queue=config.serve_max_queue,
-        request_timeout_s=config.serve_request_timeout_s)
+        request_timeout_s=config.serve_request_timeout_s,
+        max_sessions=config.serve_max_sessions,
+        session_ttl_s=config.serve_session_ttl_s)
     if config.serve_num_devices > 1:
         # Data-parallel serving: each micro-batch shards over the mesh.
         from eve_tpu.parallel import mesh as mesh_lib

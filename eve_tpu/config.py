@@ -309,6 +309,15 @@ class DefaultConfig(object):
     serve_max_queue = 64
     serve_max_body_mb = 256
     serve_request_timeout_s = 30.0
+    # Bound on concurrently open sessions (each holds recurrent-state
+    # arrays on the host); opens beyond it are refused.
+    serve_max_sessions = 1024
+    # Sessions idle longer than this are evicted when a new session opens
+    # (0 disables; floored at 2x serve_request_timeout_s so an in-flight
+    # chunk's session never ages out). Prevents clients that open
+    # sessions and vanish from leaking slots until the serve_max_sessions
+    # cap refuses every new stream.
+    serve_session_ttl_s = 600.0
     # Data-parallel serving: shard each dispatched micro-batch over this
     # many chips (1-D 'data' mesh; params replicate). 0/1 = one device.
     # serve_max_batch must divide by it.

@@ -101,6 +101,10 @@ class Session:
         self.session_id = session_id
         self.state = state  # host numpy pytree, leading dim 1
         self.chunks_processed = 0
+        # Idle-eviction clock: refreshed on every submit that names this
+        # session, so only ABANDONED streams age out (see
+        # ServingEngine session_ttl_s).
+        self.last_used = time.monotonic()
 
 
 class ServingEngine:
@@ -110,7 +114,8 @@ class ServingEngine:
                  max_batch=8, max_delay_ms=5.0,
                  served_outputs=DEFAULT_SERVED_OUTPUTS,
                  max_sessions=1024, max_signatures=8,
-                 max_queue=64, request_timeout_s=30.0, mesh=None):
+                 max_queue=64, request_timeout_s=30.0,
+                 session_ttl_s=600.0, mesh=None):
         """``served_outputs`` bounds what the jitted step returns (None =
         every forward output). ``max_sessions`` / ``max_signatures`` bound
         the two client-controlled growth axes: open sessions (state arrays)
@@ -120,6 +125,16 @@ class ServingEngine:
         bounds pending requests (overflow raises EngineOverloadedError
         rather than growing host memory); ``request_timeout_s`` fails
         requests that waited longer than that in the queue/deferred list.
+
+        ``session_ttl_s``: sessions idle longer than this are evicted on
+        the next open_session (0 disables). Without it, clients that open
+        sessions and vanish leak slots until the ``max_sessions`` cap
+        permanently refuses every new stream. The clock refreshes on each
+        submit naming the session, and the effective TTL is floored at
+        2x ``request_timeout_s`` so a session with a queued/deferred
+        chunk can never age out mid-flight. Evicted ids behave like
+        closed ones (submit raises UnknownSessionError; reopen to
+        restart the stream).
 
         ``artifact``: serve from a self-contained AOT export
         (``eve_tpu.export``: a ``.eve`` path, bytes, or ExportedModel)
@@ -169,6 +184,13 @@ class ServingEngine:
         self.max_sessions = int(max_sessions)
         self.max_signatures = int(max_signatures)
         self.request_timeout_s = float(request_timeout_s)
+        self.session_ttl_s = float(session_ttl_s)
+        if self.session_ttl_s:
+            # Floor: a session whose chunk is still queued/deferred (at
+            # most request_timeout_s old, and submit refreshed last_used)
+            # must never be evictable.
+            self.session_ttl_s = max(self.session_ttl_s,
+                                     2.0 * self.request_timeout_s)
         self._mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
@@ -223,8 +245,8 @@ class ServingEngine:
         self._stats_lock = threading.Lock()
         self.stats = {
             'requests': 0, 'batches': 0, 'batched_slots': 0,
-            'errors': 0, 'sessions_opened': 0, 'rejected': 0, 'timed_out': 0,
-            'rejected_draining': 0,
+            'errors': 0, 'sessions_opened': 0, 'sessions_evicted': 0,
+            'rejected': 0, 'timed_out': 0, 'rejected_draining': 0,
         }
         # Accepted-but-unresolved requests. Incremented BEFORE the queue
         # put and decremented exactly once when the request's future
@@ -258,15 +280,30 @@ class ServingEngine:
                 'sessions need recurrent state, but the serving artifact '
                 'was exported without it; re-export with streaming=True')
         session_id = session_id or uuid.uuid4().hex
+        evicted = 0
         with self._sessions_lock:
             if session_id in self._sessions:
                 raise ValueError('session exists: %s' % session_id)
+            if self.session_ttl_s:
+                # Reap abandoned streams BEFORE the capacity check, so
+                # leaked sessions can never permanently brick the server
+                # at max_sessions.
+                cutoff = time.monotonic() - self.session_ttl_s
+                for sid in [sid for sid, s in self._sessions.items()
+                            if s.last_used < cutoff]:
+                    stale = self._sessions.pop(sid)
+                    self._broken_sessions.discard(stale)
+                    evicted += 1
             if len(self._sessions) >= self.max_sessions:
                 raise RuntimeError(
                     'session limit reached (%d); close unused sessions'
                     % self.max_sessions)
             self._sessions[session_id] = Session(
                 session_id, jax.tree.map(np.copy, self._zero_state))
+        if evicted:
+            self._stat_inc('sessions_evicted', evicted)
+            logger.info('evicted %d idle session(s) past the %.0fs TTL',
+                        evicted, self.session_ttl_s)
         self._stat_inc('sessions_opened')
         return session_id
 
@@ -321,6 +358,8 @@ class ServingEngine:
         if session_id is not None:
             with self._sessions_lock:
                 session = self._sessions.get(session_id)
+                if session is not None:
+                    session.last_used = time.monotonic()
             if session is None:
                 raise UnknownSessionError(
                     'unknown session: %s' % session_id)
@@ -662,6 +701,10 @@ class ServingEngine:
                     s.state = jax.tree.map(
                         lambda x, idx=i: np.copy(x[idx:idx + 1]), new_states)
                     s.chunks_processed += 1
+                    # Completion also refreshes the idle clock: a chunk
+                    # that spent long in compile/queue must not leave its
+                    # session one tick from eviction.
+                    s.last_used = time.monotonic()
         for i, r in enumerate(reqs):
             per_sample = {}
             for k, v in host.items():

@@ -374,6 +374,56 @@ def test_same_session_order_across_signature_mismatch(spec, params):
         engine.stop()
 
 
+def test_idle_sessions_evicted_on_open(spec, params):
+    """Abandoned sessions age out: a client that opens sessions and
+    vanishes must not leak slots until max_sessions permanently refuses
+    every new stream. Idle sessions past session_ttl_s are reaped when a
+    new session opens (BEFORE the capacity check); submits and chunk
+    completions refresh the session's clock, so active streams never age
+    out. Idleness is simulated by rewinding last_used directly — real
+    sleeps would race the cold-compile time on a loaded host."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           max_sessions=2, request_timeout_s=0.1,
+                           session_ttl_s=0.25)
+    try:
+        assert engine.session_ttl_s == 0.25  # above the 2x-timeout floor
+        stale = engine.open_session()
+        live = engine.open_session()
+        engine.submit(_clips(21, 1)[0], session_id=live).result(timeout=300)
+        with engine._sessions_lock:
+            engine._sessions[stale].last_used -= 10.0  # abandoned
+        # Session table is full; the idle-past-TTL session must be reaped
+        # rather than the open refused.
+        fresh = engine.open_session()  # evicts `stale`, keeps `live`
+        stats = engine.get_stats()
+        assert stats['sessions_evicted'] == 1
+        assert stats['sessions_open'] == 2
+        with pytest.raises(UnknownSessionError):
+            engine.submit(_clips(22, 1)[0], session_id=stale)
+        # The active session and the new one still work.
+        engine.submit(_clips(23, 1)[0], session_id=live).result(timeout=300)
+        engine.submit(_clips(24, 1)[0], session_id=fresh).result(timeout=300)
+    finally:
+        engine.stop()
+
+
+def test_session_ttl_floored_at_request_timeout(spec, params):
+    """A TTL below 2x request_timeout_s could evict a session whose chunk
+    is still queued; the engine floors it instead."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           request_timeout_s=30.0, session_ttl_s=1.0)
+    try:
+        assert engine.session_ttl_s == 60.0
+        disabled = ServingEngine(spec, params, max_batch=2,
+                                 max_delay_ms=1.0, session_ttl_s=0)
+        try:
+            assert disabled.session_ttl_s == 0  # 0 disables, no floor
+        finally:
+            disabled.stop()
+    finally:
+        engine.stop()
+
+
 def test_queue_overflow_rejects(spec, params):
     """Submissions beyond max_queue fail fast with EngineOverloadedError
     instead of growing host memory without bound."""
