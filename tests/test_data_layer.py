@@ -774,3 +774,32 @@ def test_ffmpeg_verify_mode_cross_checks(fingerprint_video, monkeypatch):
     assert [int(f[0, 0, 0]) for f in frames] == [150, 153]
     assert video_lib._seek_verified('ffmpeg', fingerprint_video)
     assert not video_lib._seek_verified('cv2', fingerprint_video)
+
+
+def test_check_dataset_tool(dataset_root, tmp_path, capsys):
+    """tools/check_dataset.py: clean synthetic tree passes (exit 0, no
+    errors); a corrupted copy (truncated timestamps, deleted h5, bogus
+    participant) is reported with exit 1."""
+    import shutil
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'tools'))
+    import check_dataset
+
+    assert check_dataset.main([dataset_root, '--decode-probe']) == 0
+    out = capsys.readouterr().out
+    assert '0 errors' in out
+
+    broken = tmp_path / 'broken'
+    shutil.copytree(dataset_root, broken)
+    clip = next((broken / 'train01').iterdir())
+    ts = clip / 'webcam_c.timestamps.txt'
+    ts.write_text(''.join(ts.read_text().splitlines(True)[:3]))
+    os.remove(next((broken / 'train02').iterdir()) / 'webcam_c.h5')
+    (broken / 'zz_bogus').mkdir()
+
+    assert check_dataset.main([str(broken)]) == 1
+    out = capsys.readouterr().out
+    assert 'vs 3 timestamps' in out
+    assert 'missing webcam_c.h5' in out
+    assert 'not a predefined split participant' in out
