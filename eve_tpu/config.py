@@ -251,6 +251,13 @@ class DefaultConfig(object):
     # only) | 'all'.
     tpu_remat = 'none'
 
+    # Persistent XLA compilation cache directory ('' disables). Restarted
+    # jobs — preemption auto-resume cycles in particular — skip the
+    # multi-10s model compile. XLA keys entries by hardware + software
+    # version; point it at per-fleet storage (identical machines), not a
+    # directory shared across heterogeneous hosts.
+    tpu_compile_cache_dir = ''
+
     # Write periodic checkpoints on a background thread: the state is
     # snapshotted to host memory synchronously (so the bytes are exactly
     # this step's state) and serialization/disk IO overlap training.

@@ -111,6 +111,19 @@ def script_init_common(argv=None, description='Train a gaze estimation model.'):
     global _training_seed
     _training_seed = None
 
+    if config.tpu_compile_cache_dir:
+        # Persistent XLA compilation cache: restarted jobs (preemption
+        # auto-resume especially — SIGTERM/143 cycles restart the process
+        # over and over) skip the multi-10s model compile instead of
+        # re-paying it every time. Keyed by XLA on hardware+version; keep
+        # the directory per-fleet (identical machines), not shared across
+        # heterogeneous hosts.
+        jax.config.update('jax_compilation_cache_dir',
+                          config.tpu_compile_cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        logger.info('> Persistent compilation cache: %s',
+                    config.tpu_compile_cache_dir)
+
     if config.tpu_multihost:
         mesh_lib.initialize_multihost(
             config.tpu_coordinator_address or None,
