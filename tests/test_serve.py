@@ -382,11 +382,15 @@ def test_idle_sessions_evicted_on_open(spec, params):
     completions refresh the session's clock, so active streams never age
     out. Idleness is simulated by rewinding last_used directly — real
     sleeps would race the cold-compile time on a loaded host."""
+    # Margins sized for a loaded 1-core CI host: the rewind (-10s) is far
+    # past the TTL, and the TTL is far above any scheduler stall between
+    # the live session's last submit and the eviction scan (a sub-second
+    # TTL flaked here whenever a GIL stall aged the LIVE session out too).
     engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
-                           max_sessions=2, request_timeout_s=0.1,
-                           session_ttl_s=0.25)
+                           max_sessions=2, request_timeout_s=2.0,
+                           session_ttl_s=5.0)
     try:
-        assert engine.session_ttl_s == 0.25  # above the 2x-timeout floor
+        assert engine.session_ttl_s == 5.0  # above the 2x-timeout floor
         stale = engine.open_session()
         live = engine.open_session()
         engine.submit(_clips(21, 1)[0], session_id=live).result(timeout=300)
@@ -654,7 +658,10 @@ def test_expired_chunk_does_not_poison_reopened_session(spec, params):
 
     from eve_tpu.serve import _Request
 
-    engine = _frozen_engine(spec, params, request_timeout_s=0.001)
+    # Generous timeout + an explicitly-old enqueued_at for the chunk that
+    # must expire: with a tiny timeout the LIVE requests below flake
+    # whenever the loaded 1-core CI host delays _try_add past it.
+    engine = _frozen_engine(spec, params, request_timeout_s=5.0)
     try:
         sid = engine.open_session(session_id='S')
         with engine._sessions_lock:
