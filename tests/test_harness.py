@@ -723,6 +723,26 @@ def test_ragged_eval_padding_is_exact(config):
     assert checked >= 5, checked
 
 
+def test_compile_cache_dir_plumbs_to_jax(tmp_path, config):
+    """--tpu-compile-cache-dir must reach jax's persistent-cache config
+    (restarted preemption cycles skip the multi-10s compile); '' must
+    leave the process setting alone."""
+    import jax
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        cache_dir = str(tmp_path / 'xla_cache')
+        cfg2 = harness.script_init_common(
+            argv=['--tpu-compile-cache-dir', cache_dir])
+        assert cfg2.tpu_compile_cache_dir == cache_dir
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        # Default ('') must not clobber whatever the process configured
+        # (the test conftest points every suite run at a shared cache).
+        harness.script_init_common(argv=[])
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+    finally:
+        jax.config.update('jax_compilation_cache_dir', before)
+
+
 def test_remat_value_normalization(config):
     """Old boolean tpu_remat configs keep working; typos fail loudly."""
     config.import_dict({'tpu_remat': True})
