@@ -13,6 +13,19 @@ with device-resident inputs so the number isolates the compute path.
 implementation measured on this host's CPU (see bench_baseline.py; cached in
 bench_baseline.json). The reference publishes no benchmark numbers and no
 A100 is available here (BASELINE.md).
+
+``--tpu-native-arch`` benchmarks the opt-in lane-filling topology
+(models/refine_net_tpu.py) instead of the reference-parity one.
+
+Perf regression gate (VERDICT r3 item 6):
+  bench.py --check    re-measure every metric in bench_bands.json and exit
+                      non-zero if any falls outside its recorded band. The
+                      band width (rel_tol) absorbs axon-relay variance —
+                      the 13,419-vs-13,585 frames/s episode (BASELINE.md
+                      post-packaging re-measurement) bounds it at ~1.2%,
+                      so the default band is +-6%: wide enough for relay
+                      noise, far tighter than any real regression seen.
+  bench.py --record   re-measure and (over)write bench_bands.json.
 """
 
 import argparse
@@ -21,6 +34,160 @@ import sys
 import time
 
 import numpy as np
+
+BANDS_FILE = 'bench_bands.json'
+REL_TOL = 0.06
+
+
+def measure_inference(batch_size=16, seq=30, iters=20, dtype='bfloat16',
+                      input_dtype='uint8', pallas=False, tpu_native=False):
+    """Measure end-to-end inference frames/s with device-resident inputs."""
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.data.synthetic import make_synthetic_batch
+    from eve_tpu.models import eve as eve_lib
+
+    spec = eve_lib.EveSpec(
+        refine_net_enabled=True, load_screen_content=True,
+        compute_dtype=dtype, use_pallas=pallas,
+        tpu_native_arch=tpu_native)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    # Several distinct device-resident batches, cycled in the timing loop so
+    # every dispatch has fresh inputs (guards against any result memoization
+    # between identical executions in the serving stack).
+    n_variants = 4
+    batches = []
+    for _ in range(n_variants):
+        b = make_synthetic_batch(
+            rng, batch_size=batch_size, sequence_len=seq, eyes_size=128,
+            frame_dtype=np.uint8 if input_dtype == 'uint8' else np.float32)
+        batches.append({k: jax.device_put(jnp.asarray(v))
+                        for k, v in b.items()})
+
+    @jax.jit
+    def infer(params, batch):
+        out = eve_lib.forward(spec, params, batch, training=False,
+                              output_predictions=True)
+        return (out['PoG_px_initial'], out['PoG_px_final'],
+                out['left_pupil_size'], out['right_pupil_size'])
+
+    for b in batches:  # warmup / compile
+        out = infer(params, b)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = infer(params, batches[i % n_variants])
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    return batch_size * seq * iters / elapsed
+
+
+def measure_train_step_ms(batch_size=8, seq=30, iters=10, dtype='bfloat16',
+                          tpu_native=False):
+    """Measure the fused train step (fwd+bwd+clip+Adam) in ms — the
+    refine_net.json workload (BASELINE.md "training-step roofline")."""
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.data.synthetic import make_synthetic_batch
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.train import optim as optim_lib
+    from eve_tpu.train import step as step_lib
+
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'refine_net_enabled': True,
+                        'load_screen_content': True,
+                        'batch_size': batch_size,
+                        'tpu_compute_dtype': dtype,
+                        'tpu_native_arch': tpu_native})
+    spec = eve_lib.EveSpec.from_config(config)
+    tx, _ = optim_lib.build_optimizer(config, steps_per_epoch=1000)
+    state = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+    train_step = step_lib.make_train_step(spec, tx, donate=True)
+
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(2):
+        b = make_synthetic_batch(rng, batch_size=batch_size,
+                                 sequence_len=seq, eyes_size=128,
+                                 frame_dtype=np.uint8)
+        batches.append({k: jax.device_put(jnp.asarray(v))
+                        for k, v in b.items()})
+    keys = [jax.random.PRNGKey(i) for i in range(iters + 2)]
+    for i in range(2):  # warmup/compile
+        state, m = train_step(state, batches[i % 2], keys[i])
+    jax.block_until_ready(m['full_loss'])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = train_step(state, batches[i % 2], keys[i + 2])
+    jax.block_until_ready(m['full_loss'])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+# Checked metrics: name -> (measure_fn, unit, higher_is_better)
+CHECKS = {
+    'inference_frames_per_sec': (
+        lambda: measure_inference(), 'frames/s', True),
+    'inference_frames_per_sec_tpu_native': (
+        lambda: measure_inference(tpu_native=True), 'frames/s', True),
+    'train_step_ms': (
+        lambda: measure_train_step_ms(), 'ms', False),
+}
+
+
+def run_check(record=False):
+    import os
+    bands_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              BANDS_FILE)
+    results = {}
+    for name, (fn, unit, _) in CHECKS.items():
+        v = fn()
+        results[name] = round(v, 2)
+        print('%-42s %10.2f %s' % (name, v, unit), file=sys.stderr)
+
+    if record:
+        with open(bands_path, 'w') as f:
+            json.dump({'rel_tol': REL_TOL, 'recorded': results,
+                       'note': 'bench.py --check bands; +-rel_tol absorbs '
+                               'axon relay variance (~1.2 percent observed, '
+                               'BASELINE.md). Update with bench.py --record '
+                               'after intentional perf changes.'},
+                      f, indent=1)
+        print('recorded bands -> %s' % bands_path, file=sys.stderr)
+        print(json.dumps({'metric': 'bench_check', 'value': 1,
+                          'unit': 'recorded', 'vs_baseline': 0}))
+        return 0
+
+    with open(bands_path) as f:
+        bands = json.load(f)
+    tol = bands.get('rel_tol', REL_TOL)
+    failures = []
+    for name, v in results.items():
+        rec = bands['recorded'].get(name)
+        if rec is None:
+            failures.append('%s: no recorded band' % name)
+            continue
+        lo, hi = rec * (1 - tol), rec * (1 + tol)
+        _, unit, higher_better = CHECKS[name]
+        # Only breaches in the BAD direction fail (faster is never a
+        # regression — but do re-record so the band tracks the new level).
+        bad = v < lo if higher_better else v > hi
+        status = 'FAIL' if bad else 'ok'
+        print('%-42s %10.2f vs [%.2f, %.2f] %s  %s'
+              % (name, v, lo, hi, unit, status), file=sys.stderr)
+        if bad:
+            failures.append('%s: %.2f outside [%.2f, %.2f] %s'
+                            % (name, v, lo, hi, unit))
+    print(json.dumps({'metric': 'bench_check',
+                      'value': 0 if failures else 1,
+                      'unit': 'pass', 'vs_baseline': 0}))
+    if failures:
+        print('PERF REGRESSION: %s' % '; '.join(failures), file=sys.stderr)
+        return 1
+    return 0
 
 
 def main():
@@ -37,6 +204,16 @@ def main():
                              'the live Mosaic toolchain)')
     parser.add_argument('--no-pallas', action='store_true',
                         help='(deprecated, now the default)')
+    parser.add_argument('--tpu-native-arch', action='store_true',
+                        help='benchmark the opt-in TPU-native topology '
+                             '(patchify stems + lane-filling refine '
+                             'pyramid, models/refine_net_tpu.py) instead '
+                             'of the reference-parity topology')
+    parser.add_argument('--check', action='store_true',
+                        help='perf regression gate: measure all metrics in '
+                             'bench_bands.json, exit non-zero on breach')
+    parser.add_argument('--record', action='store_true',
+                        help='measure and (over)write bench_bands.json')
     parser.add_argument('--no-baseline', action='store_true')
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
@@ -46,47 +223,13 @@ def main():
                              '(tpu_on_device_preprocess path)')
     args = parser.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    from eve_tpu.data.synthetic import make_synthetic_batch
-    from eve_tpu.models import eve as eve_lib
+    if args.check or args.record:
+        sys.exit(run_check(record=args.record))
 
-    spec = eve_lib.EveSpec(
-        refine_net_enabled=True, load_screen_content=True,
-        compute_dtype=args.dtype,
-        use_pallas=args.pallas)
-    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
-    rng = np.random.RandomState(0)
-    # Several distinct device-resident batches, cycled in the timing loop so
-    # every dispatch has fresh inputs (guards against any result memoization
-    # between identical executions in the serving stack).
-    n_variants = 4
-    batches = []
-    for _ in range(n_variants):
-        batch = make_synthetic_batch(
-            rng, batch_size=args.batch, sequence_len=args.seq, eyes_size=128,
-            frame_dtype=np.uint8 if args.input_dtype == 'uint8' else np.float32)
-        batches.append(
-            {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()})
-
-    @jax.jit
-    def infer(params, batch):
-        out = eve_lib.forward(spec, params, batch, training=False,
-                              output_predictions=True)
-        return (out['PoG_px_initial'], out['PoG_px_final'],
-                out['left_pupil_size'], out['right_pupil_size'])
-
-    # Warmup / compile
-    for batch in batches:
-        out = infer(params, batch)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = infer(params, batches[i % n_variants])
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    fps = args.batch * args.seq * args.iters / elapsed
+    fps = measure_inference(
+        batch_size=args.batch, seq=args.seq, iters=args.iters,
+        dtype=args.dtype, input_dtype=args.input_dtype,
+        pallas=args.pallas, tpu_native=args.tpu_native_arch)
 
     vs_baseline = 0.0
     if not args.no_baseline:

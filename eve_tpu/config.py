@@ -213,6 +213,21 @@ class DefaultConfig(object):
     # BASELINE.md) — the flag is safe, just not a win on this model.
     tpu_use_pallas = False
 
+    # Opt-in TPU-native model topology (models/refine_net_tpu.py). The
+    # reference topology structurally underfills the MXU: 16-32-channel
+    # 3x3 convs at 72x128 occupy ~1/8 of the 128 systolic lanes and their
+    # fine-level activations dominate HBM traffic (BASELINE.md "inference
+    # phase attribution": the refine band is ~2/3 of inference at ~32%
+    # MXU, and every parity-preserving rewrite measurably lost). This
+    # variant replaces the fine pyramid levels with a 4x4 patchify conv
+    # to 128 channels and a zero-init sub-pixel head (same encoder-
+    # decoder + ConvGRU + soft-argmax contract, identical recurrent-state
+    # shapes), and swaps the EyeNet 7x7/2-conv+maxpool stem for one
+    # 8x8/4 patch-embedding conv. NOT weight-compatible with the
+    # reference/released checkpoints — the converter refuses; train from
+    # scratch. The default (off) path's reference parity is untouched.
+    tpu_native_arch = False
+
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
 

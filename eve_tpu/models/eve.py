@@ -73,6 +73,10 @@ class EveSpec:
     # Compute
     compute_dtype: str = 'float32'
     use_pallas: bool = False
+    # Opt-in TPU-native topology (NOT weight-compatible with the reference;
+    # the converter refuses): patchify EyeNet stem + lane-filling RefineNet
+    # pyramid with a sub-pixel head. See models/refine_net_tpu.py.
+    tpu_native_arch: bool = False
     # Rematerialize CNN activations in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for not storing activations —
     # enables much larger B*T per chip. Granularity: 'none', 'eye' (ResNet
@@ -129,6 +133,7 @@ class EveSpec:
             loss_coeff_heatmap_mse_final=config.loss_coeff_heatmap_mse_final,
             compute_dtype=config.tpu_compute_dtype,
             use_pallas=config.tpu_use_pallas,
+            tpu_native_arch=getattr(config, 'tpu_native_arch', False),
             remat=getattr(config, 'tpu_remat', 'none'),
         )
 
@@ -144,12 +149,17 @@ class EveSpec:
             rnn_num_cells=self.eye_net_rnn_num_cells,
             use_head_pose_input=self.eye_net_use_head_pose_input,
             compute_dtype=self.dtype,
+            stem='patchify' if self.tpu_native_arch else 'reference',
         )
 
     def build_refine_net(self):
         if not self.refine_net_enabled:
             return None
-        return RefineNet(
+        cls = RefineNet
+        if self.tpu_native_arch:
+            from eve_tpu.models.refine_net_tpu import RefineNetTPU
+            cls = RefineNetTPU
+        return cls(
             load_screen_content=self.load_screen_content,
             use_skip_connections=self.refine_net_use_skip_connections,
             use_rnn=self.refine_net_use_rnn,
@@ -504,11 +514,11 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
                   if spec.load_screen_content else None)
         net_in = refine_net.apply(
             rn_params, interm['heatmap_initial'], screen,
-            screen_size=spec.screen_size, method=RefineNet.assemble_input)
+            screen_size=spec.screen_size, method='assemble_input')
         flat_in = net_in.reshape((B * T,) + net_in.shape[2:])
 
         def _encode(x):
-            return refine_net.apply(rn_params, x, method=RefineNet.encode)
+            return refine_net.apply(rn_params, x, method='encode')
 
         if spec.remat_refine:
             _encode = jax.checkpoint(_encode)
@@ -519,7 +529,7 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
         if spec.refine_net_use_rnn:
             def cell_step(carry, x):
                 out, new_carry = refine_net.apply(
-                    rn_params, x, carry, method=RefineNet.bottleneck_step)
+                    rn_params, x, carry, method='bottleneck_step')
                 return new_carry, out
 
             if initial_states is not None and 'refine' in initial_states:
@@ -536,7 +546,7 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
             final_states['refine'] = ()
 
         heatmap_final = refine_net.apply(
-            rn_params, bottleneck_out, skips, method=RefineNet.decode)
+            rn_params, bottleneck_out, skips, method='decode')
         w, h = spec.gaze_heatmap_size
         interm['heatmap_final'] = heatmap_final.reshape(B, T, h, w)
 

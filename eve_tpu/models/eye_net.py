@@ -33,10 +33,12 @@ class EyeNet(nn.Module):
     rnn_num_cells: int = 1
     use_head_pose_input: bool = True
     compute_dtype: Any = jnp.float32
+    stem: str = 'reference'  # 'patchify' = tpu_native_arch (see resnet.py)
 
     def setup(self):
         self.cnn = ResNet18IN(num_classes=self.num_features,
-                              compute_dtype=self.compute_dtype, name='cnn')
+                              compute_dtype=self.compute_dtype,
+                              stem=self.stem, name='cnn')
         # Indices mirror the reference nn.Sequential layout for conversion.
         self.fc_common_0 = TorchLinear(self.num_features, name='fc_common_0')
         self.fc_common_2 = TorchLinear(self.num_features, name='fc_common_2')

@@ -170,6 +170,22 @@ def resize_bilinear(x, out_hw):
     return jax.image.resize(x, shape, method='bilinear', antialias=False)
 
 
+def depth_to_space(x, block: int):
+    """Sub-pixel reshape: (..., H, W, b*b*C) -> (..., H*b, W*b, C).
+
+    The channel axis is interpreted as (bh, bw, C) so each feature vector
+    paints a contiguous bh x bw output tile — the learned-upsampling head of
+    the TPU-native RefineNet (one lane-friendly conv instead of low-channel
+    decoder levels).
+    """
+    *lead, h, w, c = x.shape
+    assert c % (block * block) == 0, (c, block)
+    c_out = c // (block * block)
+    x = x.reshape(*lead, h, w, block, block, c_out)
+    x = jnp.swapaxes(x, -4, -3)  # (..., h, bh, w, bw, c_out)
+    return x.reshape(*lead, h * block, w * block, c_out)
+
+
 def selu(x):
     return jax.nn.selu(x)
 

@@ -43,9 +43,20 @@ class BasicBlock(nn.Module):
 
 
 class ResNet18IN(nn.Module):
-    """ResNet-18 (instance-norm) feature extractor -> ``num_classes`` vector."""
+    """ResNet-18 (instance-norm) feature extractor -> ``num_classes`` vector.
+
+    ``stem='patchify'`` (the ``tpu_native_arch`` variant) replaces the
+    7x7/2 conv + 3x3/2 maxpool with ONE overlapping 8x8/4 patch-embedding
+    conv straight to the layer1 resolution. Same composite stride (4), same
+    receptive-field scale (8 vs ~11), but the (H/2, W/2, 64) stem output —
+    the single largest activation of the whole model (~503 MB per
+    960-patch batch, BASELINE.md) — is never materialized. All residual
+    stages are unchanged. NOT weight-compatible with torchvision/reference
+    checkpoints; the converter refuses (utils/torch_convert.py).
+    """
     num_classes: int = 128
     compute_dtype: Any = jnp.float32
+    stem: str = 'reference'  # 'reference' | 'patchify'
 
     @nn.compact
     def __call__(self, x):
@@ -64,10 +75,16 @@ class ResNet18IN(nn.Module):
                 '1x1 layer4 resolution erases the pixel signal; the model '
                 'cannot learn from these patches.', x.shape)
         x = x.astype(self.compute_dtype)
-        x = Conv(64, 7, 2, 3, use_bias=False, name='conv1')(x)
-        x = InstanceNorm(64, affine=False, name='in1')(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stem == 'patchify':
+            x = Conv(64, 8, 4, 2, use_bias=False, name='stem_conv')(x)
+            x = InstanceNorm(64, affine=False, name='stem_in')(x)
+            x = nn.relu(x)
+        else:
+            x = Conv(64, 7, 2, 3, use_bias=False, name='conv1')(x)
+            x = InstanceNorm(64, affine=False, name='in1')(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         plan = [(64, 1), (128, 2), (256, 2), (512, 2)]
         for stage, (feats, stride) in enumerate(plan):
             x = BasicBlock(feats, stride, downsample=(stride != 1),

@@ -70,10 +70,16 @@ def vector_to_pitchyaw(a):
     frontal = jnp.zeros_like(a).at[..., 2].set(1.0)
     a = jnp.where(sq > 1e-12, a, frontal)
     norm_a = a / (_safe_norm(a, axis=-1, keepdims=True) + 1e-7)
-    return jnp.stack([
-        jnp.arcsin(norm_a[..., 1]),
-        jnp.arctan2(norm_a[..., 0], norm_a[..., 2]),
-    ], axis=-1)
+    # At the pitch poles (x == z == 0, gaze along +-y) the yaw is genuinely
+    # undefined and atan2's VJP is again 0/0 = NaN. Swap in the frontal
+    # (x, z) = (0, 1) pair there: yaw 0 with zero gradient, same guard
+    # pattern as above (the reference returns atan2 of float noise here).
+    x, y, z = norm_a[..., 0], norm_a[..., 1], norm_a[..., 2]
+    horiz = jnp.square(x) + jnp.square(z)
+    off_pole = horiz > 1e-12
+    x = jnp.where(off_pole, x, 0.0)
+    z = jnp.where(off_pole, z, 1.0)
+    return jnp.stack([jnp.arcsin(y), jnp.arctan2(x, z)], axis=-1)
 
 
 def pitchyaw_to_rotation(a):
@@ -216,10 +222,15 @@ def rodrigues(rvec):
     (src/datasources/eve_sequences.py:232) with pure array math so it can run
     vectorized on device or host.
     """
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
-    # Guard division; at theta ~ 0 the Taylor limit gives identity.
-    safe_theta = jnp.where(theta > 1e-12, theta, 1.0)
-    k = rvec / safe_theta
+    # _safe_norm, not linalg.norm: the latter's VJP is NaN at rvec == 0 and
+    # a value-level where() cannot fix a cotangent. With the 1e-14 floor,
+    # theta >= 1e-7 everywhere and k = rvec/theta -> 0 at the origin; since
+    # sin(theta)*K == sin(theta)/theta * cross(rvec) and (1-cos)K^2 ==
+    # (1-cos)/theta^2 * cross(rvec)^2, the floor only perturbs terms below
+    # f32 resolution — the Taylor limit (identity at rvec = 0) emerges
+    # exactly, with a finite (zero) gradient, no branch needed.
+    theta = _safe_norm(rvec, axis=-1, keepdims=True)
+    k = rvec / theta
     kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
     zeros = jnp.zeros_like(kx)
     K = jnp.stack([zeros, -kz, ky,
@@ -228,8 +239,8 @@ def rodrigues(rvec):
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
     s = jnp.sin(theta)[..., None]
     c = jnp.cos(theta)[..., None]
-    R = eye + s * K + (1.0 - c) * jnp.einsum('...ij,...jk->...ik', K, K, precision=_PREC)
-    return jnp.where((theta > 1e-12)[..., None], R, eye)
+    return eye + s * K + (1.0 - c) * jnp.einsum(
+        '...ij,...jk->...ik', K, K, precision=_PREC)
 
 
 def angular_error_degrees(a, b):

@@ -79,6 +79,15 @@ def bootstrap_pretrained(config, params, pretrained_dir=None):
     frozen *random* EyeNet would corrupt the two-stage workflow.
     """
     wanted = []
+    if getattr(config, 'tpu_native_arch', False) and (
+            config.eye_net_load_pretrained or
+            (config.refine_net_enabled and
+             config.refine_net_load_pretrained)):
+        raise ValueError(
+            'tpu_native_arch is enabled but *_load_pretrained is set: the '
+            'TPU-native topology (patchify stems, lane-filling refine '
+            'pyramid) is NOT weight-compatible with the reference release '
+            'checkpoints. Train from scratch, or disable tpu_native_arch.')
     if config.eye_net_load_pretrained:
         wanted.append('eye_net')
     if config.refine_net_enabled and config.refine_net_load_pretrained:

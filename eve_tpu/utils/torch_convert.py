@@ -164,6 +164,11 @@ def eye_net_params_to_torch(params):
     converter with round-trip tests. Values are numpy arrays in torch layout.
     """
     sd = {}
+    if 'stem_conv' in params.get('cnn', {}):
+        raise ValueError(
+            'This EyeNet uses the TPU-native patchify stem '
+            '(tpu_native_arch): it has no reference/torch equivalent and '
+            'cannot be exported to the release .pt format.')
     for name, sub in params.items():
         if name == 'cnn':
             for mod, p in sub.items():
@@ -204,6 +209,11 @@ _PREACT_INV = {
 
 def refine_net_params_to_torch(params):
     """Inverse of :func:`convert_refine_net`: flax tree -> torch state dict."""
+    if 'stem' in params:
+        raise ValueError(
+            'This RefineNet is the TPU-native topology (tpu_native_arch, '
+            'models/refine_net_tpu.py): it has no reference/torch '
+            'equivalent and cannot be exported to the release .pt format.')
     sd = {}
 
     def put_mod(prefix, p):

@@ -737,7 +737,12 @@ def test_compile_cache_dir_plumbs_to_jax(tmp_path, config):
         assert jax.config.jax_compilation_cache_dir == cache_dir
         # Default ('') must not clobber whatever the process configured
         # (the test conftest points every suite run at a shared cache).
-        harness.script_init_common(argv=[])
+        # Reset the singleton first: without it the second call still sees
+        # tpu_compile_cache_dir == cache_dir and the ''-path never runs.
+        from eve_tpu.config import DefaultConfig
+        DefaultConfig._reset_instance_for_testing()
+        cfg3 = harness.script_init_common(argv=[])
+        assert cfg3.tpu_compile_cache_dir == ''
         assert jax.config.jax_compilation_cache_dir == cache_dir
     finally:
         jax.config.update('jax_compilation_cache_dir', before)

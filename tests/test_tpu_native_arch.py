@@ -1,0 +1,209 @@
+"""TPU-native architecture variant (``tpu_native_arch``).
+
+The opt-in lane-filling topology (eve_tpu/models/refine_net_tpu.py +
+patchify EyeNet stem, resnet.py): same external contract as the reference
+topology — input assembly, ConvGRU bottleneck state structure, (72, 128)
+heatmap into the same soft-argmax — different internals, NOT
+weight-compatible. These tests pin the contract: shapes, finiteness of
+value and gradient, the train step, streaming-state equivalence across
+chunk boundaries, and the converter/bootstrap refusals.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eve_tpu.data.synthetic import make_synthetic_batch
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.models.layers import depth_to_space
+from eve_tpu.models.refine_net import RefineNet
+from eve_tpu.models.refine_net_tpu import RefineNetTPU
+
+
+def _spec(**kw):
+    kw.setdefault('refine_net_enabled', True)
+    kw.setdefault('load_screen_content', True)
+    kw.setdefault('tpu_native_arch', True)
+    return eve_lib.EveSpec(**kw)
+
+
+def _batch(rng, B=2, T=2, eyes=64):
+    batch = make_synthetic_batch(rng, batch_size=B, sequence_len=T,
+                                 eyes_size=eyes, with_screen=True)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_depth_to_space_layout():
+    # Each (h, w) feature vector paints a contiguous block x block tile,
+    # channel axis interpreted as (bh, bw, c).
+    x = jnp.arange(2 * 1 * 2 * 8, dtype=jnp.float32).reshape(2, 1, 2, 8)
+    y = depth_to_space(x, 2)
+    assert y.shape == (2, 2, 4, 2)
+    # Tile (0, 0) of batch 0: channels [0..8) as (bh=2, bw=2, c=2).
+    np.testing.assert_array_equal(np.asarray(y[0, :, :2, :]),
+                                  np.arange(8, dtype=np.float32).reshape(2, 2, 2))
+    # Tile (0, 1): channels [8..16).
+    np.testing.assert_array_equal(np.asarray(y[0, :, 2:, :]),
+                                  np.arange(8, 16, dtype=np.float32).reshape(2, 2, 2))
+
+
+def test_refine_net_tpu_single_step_shapes(rng):
+    net = RefineNetTPU(load_screen_content=True)
+    hm = jnp.asarray(rng.uniform(0, 1, (3, 72, 128)).astype(np.float32))
+    screen = jnp.asarray(rng.uniform(0, 1, (3, 72, 128, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), hm, screen)['params']
+    out = net.apply({'params': params}, hm, screen)
+    assert out['heatmap_final'].shape == (3, 72, 128)
+    v = np.asarray(out['heatmap_final'])
+    assert np.all((v > 0.0) & (v < 1.0))
+    # Zero-init sub-pixel head: flat sigmoid(0) = 0.5 heatmap at init,
+    # matching the reference's zero-init final conv behavior.
+    np.testing.assert_allclose(v, 0.5, atol=1e-6)
+    # State structure identical to the reference topology's (the serving /
+    # streaming contract): one (B, 5, 8, 64) CGRU state.
+    ref_state = RefineNet().init_state(3, dtype=jnp.float32)
+    tpu_state = net.init_state(3, dtype=jnp.float32)
+    assert jax.tree_util.tree_structure(ref_state) == \
+        jax.tree_util.tree_structure(tpu_state)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state),
+                    jax.tree_util.tree_leaves(tpu_state)):
+        assert a.shape == b.shape
+
+
+def test_refine_net_tpu_rejects_wrong_grid(rng):
+    net = RefineNetTPU(load_screen_content=False)
+    hm = jnp.zeros((1, 36, 64), jnp.float32)
+    with pytest.raises(AssertionError, match='72x128'):
+        net.init(jax.random.PRNGKey(0), hm, None, screen_size=(64, 36))
+
+
+def test_eve_forward_tpu_native(rng):
+    spec = _spec()
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(rng)
+    out = eve_lib.forward(spec, params, batch, training=False,
+                          output_predictions=True)
+    B, T = batch['left_eye_patch'].shape[:2]
+    assert out['PoG_px_final'].shape == (B, T, 2)
+    for k in ('full_loss', 'PoG_px_final', 'PoG_px_initial',
+              'left_pupil_size', 'metric_euc_PoG_px_final'):
+        assert k in out, k
+        assert bool(jnp.all(jnp.isfinite(out[k]))), k
+
+
+@pytest.mark.slow
+def test_eve_grad_tpu_native_finite(rng):
+    spec = _spec(compute_dtype='bfloat16')
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    # The zero-init heads block upstream gradients at exactly step 0 (same
+    # property as the reference's zero-init heads; the pupil head's ReLU
+    # can also clip to zero at init). Perturb them so this test sees the
+    # steady-state gradient flow instead of the step-0 special case.
+    for path in (('refine_net', 'final_2'), ('eye_net', 'fc_to_gaze_2')):
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        k = node[path[-1]]['kernel']
+        node[path[-1]]['kernel'] = 0.01 * jax.random.normal(
+            jax.random.PRNGKey(7), k.shape, k.dtype)
+    batch = _batch(rng)
+
+    def loss_fn(p):
+        out = eve_lib.forward(spec, p, batch, rng=jax.random.PRNGKey(1),
+                              training=True)
+        return out['full_loss']
+
+    g = jax.jit(jax.grad(loss_fn))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    # The patchify stems must receive gradient (pixel information flows).
+    assert float(jnp.abs(g['eye_net']['cnn']['stem_conv']['kernel']).max()) > 0
+    assert float(jnp.abs(g['refine_net']['stem']['kernel']).max()) > 0
+
+
+@pytest.mark.slow
+def test_train_step_tpu_native(rng):
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.train import optim as optim_lib
+    from eve_tpu.train import step as step_lib
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'refine_net_enabled': True,
+                        'load_screen_content': True,
+                        'tpu_native_arch': True,
+                        'batch_size': 2})
+    spec = eve_lib.EveSpec.from_config(config)
+    assert spec.tpu_native_arch
+    tx, _ = optim_lib.build_optimizer(config, steps_per_epoch=10)
+    state = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+    train_step = step_lib.make_train_step(spec, tx, donate=False)
+    batch = _batch(rng)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    losses = []
+    for i in range(2):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics['full_loss']))
+    assert all(np.isfinite(losses)), losses
+    moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(state.params)))
+    assert moved
+
+
+@pytest.mark.slow
+def test_streaming_chunks_match_full_clip(rng):
+    """Two T/2 chunks with carried state == one full-T run (the serving
+    engine's streaming contract holds for the TPU-native state too)."""
+    spec = _spec()
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(rng, B=1, T=4)
+    full = eve_lib.forward(spec, params, batch, training=False,
+                           output_predictions=True)
+
+    state = eve_lib.init_stream_state(spec, 1)
+    outs = []
+    for t0 in (0, 2):
+        chunk = {k: v[:, t0:t0 + 2] if v.ndim >= 2 and v.shape[1] == 4 else v
+                 for k, v in batch.items()}
+        out = eve_lib.forward(spec, params, chunk, training=False,
+                              output_predictions=True,
+                              initial_states=state, return_states=True)
+        state = out['states']
+        outs.append(np.asarray(out['PoG_px_final']))
+    chunked = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(chunked, np.asarray(full['PoG_px_final']),
+                               rtol=1e-4, atol=0.5)
+
+
+def test_converters_refuse_tpu_native():
+    from eve_tpu.utils import torch_convert as tc
+    spec = _spec()
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='patchify'):
+        tc.eye_net_params_to_torch(params['eye_net'])
+    with pytest.raises(ValueError, match='TPU-native'):
+        tc.refine_net_params_to_torch(params['refine_net'])
+
+
+def test_bootstrap_pretrained_refuses_tpu_native(tmp_path):
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.utils.load_model import bootstrap_pretrained
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'tpu_native_arch': True,
+                        'eye_net_load_pretrained': True})
+    with pytest.raises(ValueError, match='not weight-compatible|NOT weight'):
+        bootstrap_pretrained(config, params={})
+
+
+def test_default_arch_unchanged():
+    spec = eve_lib.EveSpec(refine_net_enabled=True)
+    assert isinstance(spec.build_refine_net(), RefineNet)
+    assert spec.build_eye_net().stem == 'reference'
+    spec_tpu = _spec()
+    assert isinstance(spec_tpu.build_refine_net(), RefineNetTPU)
+    assert spec_tpu.build_eye_net().stem == 'patchify'
