@@ -28,6 +28,109 @@ import time
 import numpy as np
 
 
+def _raw_step_ms(spec, params, clips, args, iters=12):
+    """Two floors for the engine's per-batch time:
+
+    * device-resident floor: back-to-back jitted steps, outputs stay on
+      device (pure compute + dispatch pipelining);
+    * round-trip floor: one step THEN a host readback of the small served
+      outputs, serialized like a real request/response cycle. On a TPU VM
+      the two are nearly equal (PCIe readback of a few KB is ~free); over
+      the axon tunnel the readback dominates — engine overhead must be
+      judged against THIS floor, transport against the gap between them.
+    """
+    import jax
+    import jax.numpy as jnp
+    from eve_tpu.models import eve as eve_lib
+    from eve_tpu.serve import DEFAULT_SERVED_OUTPUTS
+
+    state0 = eve_lib.init_stream_state(spec, args.max_batch)
+
+    @jax.jit
+    def step(params, batch, states):
+        out = eve_lib.forward(spec, params, batch, training=False,
+                              output_predictions=True,
+                              initial_states=states, return_states=True)
+        served = {k: out[k] for k in DEFAULT_SERVED_OUTPUTS if k in out}
+        served['states'] = out['states']
+        return served
+
+    batches = []
+    for v in range(args.distinct):
+        chunks = [clips[s % args.sessions][v] for s in range(args.max_batch)]
+        batches.append({k: jnp.stack([c[k] for c in chunks])
+                        for k in chunks[0]})
+    out = step(params, batches[0], state0)
+    jax.block_until_ready(out)
+    states = out['states']
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(params, batches[i % len(batches)], states)
+        states = out['states']
+    jax.block_until_ready(out)
+    device_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(params, batches[i % len(batches)], states)
+        states = out['states']
+        _ = {k: np.asarray(v) for k, v in out.items() if k != 'states'}
+    roundtrip_ms = (time.perf_counter() - t0) / iters * 1e3
+    return device_ms, roundtrip_ms
+
+
+def _null_engine_batch_ms(spec, params, host_clips, args):
+    """Intrinsic host-side batcher cost: the same engine with the jitted
+    step STUBBED by an instant host function. Queueing, gather windows,
+    signature grouping, state threading, future resolution — everything
+    except the device — at zero link latency. This is the number that
+    transfers to a real TPU VM, where the device round trip collapses to
+    raw_step_ms."""
+    import threading as _t
+    from eve_tpu.serve import ServingEngine
+
+    engine = ServingEngine(spec, params, max_batch=args.max_batch,
+                           max_delay_ms=5.0, request_timeout_s=600.0)
+    T = args.seq
+    B = engine.max_batch
+
+    def null_step(_params, batch, states):
+        n = next(iter(batch.values())).shape[0]
+        return {'PoG_px_initial': np.zeros((n, T, 2), np.float32),
+                'PoG_px_final': np.zeros((n, T, 2), np.float32),
+                'left_pupil_size': np.zeros((n, T), np.float32),
+                'right_pupil_size': np.zeros((n, T), np.float32),
+                'states': states}
+
+    engine._get_jit = lambda signature: null_step
+    try:
+        errors = []
+
+        def client(s):
+            try:
+                sid = engine.open_session()
+                for i in range(args.chunks):
+                    engine.infer(host_clips[s][i % args.distinct],
+                                 session_id=sid, timeout=120)
+                engine.close_session(sid)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [_t.Thread(target=client, args=(s,), daemon=True)
+                   for s in range(args.sessions)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errors:
+            raise errors[0]
+        return wall / max(engine.stats['batches'], 1) * 1e3
+    finally:
+        engine.stop()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--sessions', type=int, default=4)
@@ -41,6 +144,13 @@ def main():
                         '(defeats relay transfer memoization)')
     p.add_argument('--dtype', default='bfloat16',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--loopback', action='store_true',
+                   help='engine compute-bound measurement: device_resident '
+                        'engine + pre-staged device-resident inputs, no '
+                        'HTTP and no H2D in the chunk path — isolates the '
+                        'micro-batcher/scheduling overhead from transfer '
+                        'cost and reports it against the raw jitted step '
+                        '(BASELINE.md "serving engine loopback")')
     args = p.parse_args()
 
     from eve_tpu.data.synthetic import make_synthetic_batch
@@ -54,7 +164,8 @@ def main():
                            compute_dtype=args.dtype)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     engine = ServingEngine(spec, params, max_batch=args.max_batch,
-                           max_delay_ms=5.0, request_timeout_s=600.0)
+                           max_delay_ms=5.0, request_timeout_s=600.0,
+                           device_resident=args.loopback)
 
     # Distinct payloads per (session, slot): nothing repeats within one
     # cycle of any session, so the relay cannot serve a transfer from
@@ -67,6 +178,16 @@ def main():
             eyes_size=args.eyes, with_screen=True, frame_dtype=np.uint8)
         clips[s] = [{k: v[i] for k, v in batch.items()}
                     for i in range(args.distinct)]
+    raw_step_ms = roundtrip_ms = null_batch_ms = None
+    if args.loopback:
+        import jax.numpy as jnp
+        null_batch_ms = _null_engine_batch_ms(spec, params, clips, args)
+        # Pre-stage every payload on the device: the timed window then
+        # contains zero host->device input traffic.
+        clips = {s: [{k: jax.device_put(jnp.asarray(v))
+                      for k, v in chunk.items()} for chunk in chunks]
+                 for s, chunks in clips.items()}
+        raw_step_ms, roundtrip_ms = _raw_step_ms(spec, params, clips, args)
 
     # Warmup: compile the signature and fill the engine's caches.
     warm = engine.submit(clips[0][0])
@@ -105,8 +226,9 @@ def main():
 
     frames = args.sessions * args.chunks * args.seq
     lat_ms = np.sort(np.array(latencies)) * 1e3
-    print(json.dumps({
-        'metric': 'serve_sustained_frames_per_sec',
+    result = {
+        'metric': ('serve_loopback_frames_per_sec' if args.loopback
+                   else 'serve_sustained_frames_per_sec'),
         'value': round(frames / wall, 2),
         'unit': 'frames/s',
         'sessions': args.sessions,
@@ -116,7 +238,19 @@ def main():
         'chunk_p95_ms': round(float(np.percentile(lat_ms, 95)), 1),
         'batches': engine.stats['batches'],
         'requests': engine.stats['requests'],
-    }))
+    }
+    if raw_step_ms is not None:
+        # Batcher overhead per dispatched micro-batch, judged against the
+        # serialized step+readback round trip (the transport floor this
+        # link imposes); raw_step_ms is the device-resident compute floor.
+        engine_batch_ms = wall / max(engine.stats['batches'], 1) * 1e3
+        result['raw_step_ms'] = round(raw_step_ms, 2)
+        result['roundtrip_step_ms'] = round(roundtrip_ms, 2)
+        result['engine_batch_ms'] = round(engine_batch_ms, 2)
+        result['batcher_overhead_ms'] = round(
+            engine_batch_ms - roundtrip_ms, 2)
+        result['host_batcher_ms'] = round(null_batch_ms, 2)
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

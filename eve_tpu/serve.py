@@ -115,7 +115,7 @@ class ServingEngine:
                  served_outputs=DEFAULT_SERVED_OUTPUTS,
                  max_sessions=1024, max_signatures=8,
                  max_queue=64, request_timeout_s=30.0,
-                 session_ttl_s=600.0, mesh=None):
+                 session_ttl_s=600.0, mesh=None, device_resident=False):
         """``served_outputs`` bounds what the jitted step returns (None =
         every forward output). ``max_sessions`` / ``max_signatures`` bound
         the two client-controlled growth axes: open sessions (state arrays)
@@ -143,6 +143,19 @@ class ServingEngine:
         the batch size (``max_batch`` is taken from it); sessions require a
         streaming export. Exactly one of (spec+params) / artifact must be
         given.
+
+        ``device_resident``: keep per-session recurrent state in device
+        memory and accept ``jax.Array`` inputs without a host round-trip.
+        The batch is then assembled INSIDE the jitted step (one dispatch
+        per micro-batch stacks the slots and runs the model), so a chunk
+        costs: [H2D of any host-side inputs] + one jit dispatch + D2H of
+        the small served outputs — instead of the default path's
+        host-stack + H2D of the whole batch + D2H of every slot state +
+        H2D of those states again next chunk. On a TPU VM this removes
+        ~2x the session-state bytes per chunk from PCIe; with
+        device-resident inputs (``bench_serve.py --loopback``) it
+        isolates the engine's own scheduling/batching overhead from
+        transfer cost entirely. Spec+params path only (no artifact/mesh).
 
         ``mesh``: a 1-D ``jax.sharding.Mesh`` (axis ``data``) to serve
         data-parallel across chips: each dispatched micro-batch shards its
@@ -191,6 +204,13 @@ class ServingEngine:
             # must never be evictable.
             self.session_ttl_s = max(self.session_ttl_s,
                                      2.0 * self.request_timeout_s)
+        self.device_resident = bool(device_resident)
+        if self.device_resident and (artifact is not None or
+                                     mesh is not None):
+            raise ValueError(
+                'device_resident serving needs the spec+params path on a '
+                'single device (AOT artifacts fix their own input layout; '
+                'mesh serving shards host-assembled batches)')
         self._mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
@@ -364,7 +384,10 @@ class ServingEngine:
                 raise UnknownSessionError(
                     'unknown session: %s' % session_id)
         req = _Request(
-            inputs={k: np.asarray(v) for k, v in inputs.items()},
+            # jax Arrays pass through untouched (np.asarray would force a
+            # device->host copy); everything else is coerced to numpy.
+            inputs={k: (v if isinstance(v, jax.Array) else np.asarray(v))
+                    for k, v in inputs.items()},
             session_id=session_id, session=session,
             enqueued_at=time.perf_counter())
         req.signature = tuple(sorted(
@@ -634,6 +657,44 @@ class ServingEngine:
             fn = self._jit_cache[signature] = step
         return fn
 
+    def _get_jit_slots(self, signature):
+        """Device-resident variant: batch assembly INSIDE the jit.
+
+        Takes a max_batch-tuple of per-slot input dicts plus a tuple of
+        per-slot (leading-dim-1) states; stacks/concatenates them in the
+        traced graph so one dispatch covers stack + model. Device-resident
+        inputs/states then never touch the host.
+        """
+        fn = self._jit_cache.get(('slots', signature))
+        if fn is None:
+            if len(self._jit_cache) >= self.max_signatures:
+                raise RuntimeError(
+                    'input-signature limit reached (%d distinct shapes); '
+                    'pad clips to a fixed shape client-side'
+                    % self.max_signatures)
+            spec = self.spec
+            served = self.served_outputs
+
+            @jax.jit
+            def step(params, slots, states_slots):
+                import jax.numpy as jnp
+                batch = {k: jnp.stack([s[k] for s in slots])
+                         for k in slots[0]}
+                states = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *states_slots)
+                out = eve_lib.forward(
+                    spec, params, batch, training=False,
+                    output_predictions=True,
+                    initial_states=states, return_states=True)
+                states_out = out.pop('states')
+                if served is not None:
+                    out = {k: out[k] for k in served if k in out}
+                out['states'] = states_out
+                return out
+
+            fn = self._jit_cache[('slots', signature)] = step
+        return fn
+
     def _dispatch(self, reqs: List[_Request]):
         # A session deleted between submit() and here must fail its chunk,
         # not silently run on freshly-zeroed state mid-stream.
@@ -662,32 +723,50 @@ class ServingEngine:
             return
         n = len(reqs)
         pad = self.max_batch - n
-        batch = {}
-        for k in reqs[0].inputs:
-            stacked = np.stack([r.inputs[k] for r in reqs])
-            if pad:
-                stacked = np.concatenate(
-                    [stacked, np.repeat(stacked[-1:], pad, axis=0)])
-            batch[k] = stacked
-        # Stack per-slot states: session state, or fresh zero state.
+        # Per-slot states: session state, or fresh zero state.
         slot_states = [s.state if s else self._zero_state for s in sessions]
         for _ in range(pad):
             slot_states.append(self._zero_state)
-        states = jax.tree.map(
-            lambda *xs: np.concatenate(xs, axis=0), *slot_states)
-        if self._batch_sharding is not None:
-            # Mesh serving: slots shard over the data axis (params are
-            # already replicated); GSPMD propagates the placement through
-            # the jitted step, so outputs/new states come back sharded and
-            # np.asarray gathers them.
-            put = lambda x: jax.device_put(x, self._batch_sharding)
-            batch = {k: put(v) for k, v in batch.items()}
-            states = jax.tree.map(put, states)
+        if self.device_resident:
+            # Batch assembly happens INSIDE the jit (one dispatch); inputs
+            # and states may be jax Arrays and never touch the host.
+            slots = tuple(r.inputs for r in reqs) + (reqs[-1].inputs,) * pad
+            step = self._get_jit_slots(reqs[0].signature)
+            outputs = step(self._params, slots, tuple(slot_states))
+            new_states = outputs.pop('states')
 
-        step = self._get_jit(reqs[0].signature)
-        outputs = step(self._params, batch, states)
-        new_states = outputs.pop('states')
-        new_states = jax.tree.map(np.asarray, new_states)
+            def slot_state(x, idx):
+                # jax slicing allocates a fresh device buffer (jax has no
+                # views), so per-session state does not pin the batch.
+                return x[idx:idx + 1]
+        else:
+            batch = {}
+            for k in reqs[0].inputs:
+                stacked = np.stack([r.inputs[k] for r in reqs])
+                if pad:
+                    stacked = np.concatenate(
+                        [stacked, np.repeat(stacked[-1:], pad, axis=0)])
+                batch[k] = stacked
+            states = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *slot_states)
+            if self._batch_sharding is not None:
+                # Mesh serving: slots shard over the data axis (params are
+                # already replicated); GSPMD propagates the placement
+                # through the jitted step, so outputs/new states come back
+                # sharded and np.asarray gathers them.
+                put = lambda x: jax.device_put(x, self._batch_sharding)
+                batch = {k: put(v) for k, v in batch.items()}
+                states = jax.tree.map(put, states)
+
+            step = self._get_jit(reqs[0].signature)
+            outputs = step(self._params, batch, states)
+            new_states = outputs.pop('states')
+            new_states = jax.tree.map(np.asarray, new_states)
+
+            def slot_state(x, idx):
+                # Copy (not slice-view) so the per-session state doesn't
+                # pin the whole batch-sized array in memory.
+                return np.copy(x[idx:idx + 1])
         host = {k: np.asarray(v) for k, v in outputs.items()
                 if hasattr(v, 'shape')}
 
@@ -696,10 +775,8 @@ class ServingEngine:
                 # Session may have been closed mid-flight; drop state then.
                 if s is not None and \
                         self._sessions.get(s.session_id) is s:
-                    # Copy (not slice-view) so the per-session state doesn't
-                    # pin the whole batch-sized array in memory.
                     s.state = jax.tree.map(
-                        lambda x, idx=i: np.copy(x[idx:idx + 1]), new_states)
+                        lambda x, idx=i: slot_state(x, idx), new_states)
                     s.chunks_processed += 1
                     # Completion also refreshes the idle clock: a chunk
                     # that spent long in compile/queue must not leave its

@@ -955,12 +955,23 @@ def test_model_on_all(exp, test_data, current_step, log_key_prefix='test'):
                 v for v in batch.values()
                 if isinstance(v, np.ndarray))).shape[0]
             weight_rows = batch_size
-            if (data_extent > 1 and full_size and
-                    batch_size < full_size and jax.process_count() == 1):
+            if data_extent > 1 and full_size and batch_size < full_size:
                 # Ragged final batch on a multi-device mesh: pad with
                 # zero-validity rows so the batch keeps its compiled shape
                 # and full sharding; the scalar outputs then average over
                 # full_size rows of which the pads contribute 0.
+                # Multi-host included: every host evaluates the full test
+                # set (loaders are not host-sliced, duplicate rows cancel
+                # in the batch mean), so padding to the loader's batch
+                # size yields identical per-host shapes by construction —
+                # make_array_from_process_local_data then assembles a
+                # full-shape global batch instead of receiving ragged
+                # per-host arrays nothing validates. The weighted mean
+                # stays exact: the global scalar averages hosts*full_size
+                # rows whose pads contribute 0, weighted here by
+                # full_size/num_entries (tests/test_multihost.py pins a
+                # non-divisible final batch against the single-process
+                # metrics).
                 batch = _pad_eval_batch(batch, full_size)
                 weight_rows = full_size
             # Shard eval batches over the mesh like training batches

@@ -114,6 +114,126 @@ assert float(np.abs(np.asarray(loaded.params['eye_net']['w'])
 assert float(np.abs(np.asarray(loaded.opt_state['mu']['eye_net']['w'])
                     - np.asarray(w)).max()) == 0.0
 emit('CKPT %d ok' % pid)
+
+# --- Cross-host 10-step trajectory parity --------------------------------
+# The wiring/reduction checks above prove collectives run; this proves the
+# FULL production train step (fwd+bwd+Adam, 64px eye patches so instance
+# norm keeps real pixel signal) follows the single-device trajectory when
+# the batch is assembled across two processes and sharded over the global
+# 8-device data axis.
+if len(sys.argv) > 5 and sys.argv[5]:
+    jax.config.update('jax_compilation_cache_dir', sys.argv[5])
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from eve_tpu.models import eve as eve_lib
+from eve_tpu.train import optim as optim_lib
+from eve_tpu.train import step as step_lib
+from eve_tpu.data.synthetic import make_synthetic_batch
+
+cfg.import_dict({'refine_net_enabled': False, 'batch_size': 8})
+spec = eve_lib.EveSpec.from_config(cfg)
+tx, _ = optim_lib.build_optimizer(cfg, steps_per_epoch=10)
+state0 = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+B, T, N = 8, 2, 10
+gbatches = [make_synthetic_batch(np.random.RandomState(s), batch_size=B,
+                                 sequence_len=T, eyes_size=64,
+                                 with_screen=False) for s in (0, 1)]
+keys = [jax.random.PRNGKey(100 + i) for i in range(N)]
+
+single_losses = None
+if pid == 0:
+    sstep = step_lib.make_train_step(spec, tx, donate=False)
+    sstate = state0
+    single_losses = []
+    for i in range(N):
+        b = {k: jnp.asarray(v) for k, v in gbatches[i % 2].items()}
+        sstate, m = sstep(sstate, b, keys[i])
+        single_losses.append(float(m['full_loss']))
+
+sharding = NamedSharding(mesh, P('data'))
+half = B // 2
+
+def put_global(batch):
+    return {k: jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(v[pid * half:(pid + 1) * half]),
+        (B,) + v.shape[1:]) for k, v in batch.items()}
+
+state = state0.replace(params=mesh_lib.replicate(mesh, state0.params),
+                       opt_state=mesh_lib.replicate(mesh, state0.opt_state))
+tstep = step_lib.make_train_step(spec, tx, donate=True)
+tlosses = []
+for i in range(N):
+    state, m = tstep(state, put_global(gbatches[i % 2]), keys[i])
+    loss = float(m['full_loss'])
+    assert np.isfinite(loss), (i, loss)
+    tlosses.append(loss)
+emit('TLOSS %d %s' % (pid, ','.join('%.6f' % l for l in tlosses)))
+if pid == 0:
+    for i, (a, b) in enumerate(zip(tlosses, single_losses)):
+        rel = abs(a - b) / (abs(b) + 1e-9)
+        assert rel < 5e-3, ('trajectory diverged', i, a, b)
+    emit('TRAJ %d ok' % pid)
+
+# --- Multi-host ragged final eval batch ----------------------------------
+# 9 entries / batch 8 -> a final 1-row batch. The harness must pad it to
+# the compiled shape on multi-host too (every host evaluates the full test
+# set, so per-host shapes agree by construction) and the weighted metrics
+# must equal the single-device computation exactly.
+from eve_tpu.train.harness import SubsetLoader
+
+n_items, eval_bs = 9, 8
+gitems = make_synthetic_batch(np.random.RandomState(7), batch_size=n_items,
+                              sequence_len=T, eyes_size=64,
+                              with_screen=False)
+
+class _DS:
+    def __len__(self):
+        return n_items
+    def __getitem__(self, i):
+        return {k: np.asarray(v[i]) for k, v in gitems.items()}
+
+loader = SubsetLoader(_DS(), None, batch_size=eval_bs, num_workers=0)
+eval_step = step_lib.make_eval_step(spec)
+# Fresh params: device_put-to-sharded may ALIAS the original buffers, so
+# the donating train step above can have deleted state0's leaves.
+eval_params = step_lib.create_train_state(
+    spec, tx, jax.random.PRNGKey(0)).params
+
+class _TB:
+    def update_current_step(self, s):
+        pass
+    def add_scalar(self, *a):
+        pass
+
+exp2 = SimpleNamespace(
+    mesh=mesh,
+    state=SimpleNamespace(params=mesh_lib.replicate(mesh, eval_params)),
+    eval_step=eval_step, tensorboard=_TB(),
+    gsheet_logger=SimpleNamespace(ready=False))
+exp2.device_put_batch = harness.Experiment.device_put_batch.__get__(exp2)
+out, _ = harness.test_model_on_all(
+    exp2, {'eve_val': {'dataloader': loader, 'dataset': _DS()}}, 0)
+vals = out['eve_val']
+emit('EVAL %d %s' % (pid, ';'.join(
+    '%s=%.6f' % (k, vals[k]) for k in sorted(vals))))
+
+if pid == 0:
+    ref_totals = {}
+    for chunk in (list(range(8)), [8]):
+        batch = {k: np.ascontiguousarray(v[chunk]) for k, v in gitems.items()}
+        if len(chunk) < eval_bs:
+            batch = harness._pad_eval_batch(batch, eval_bs)
+        out1 = eval_step(eval_params,
+                         {k: jnp.asarray(v) for k, v in batch.items()})
+        for k, v in out1.items():
+            if hasattr(v, 'ndim') and v.ndim == 0:
+                ref_totals[k] = ref_totals.get(k, 0.0) + \
+                    float(v) * (eval_bs / n_items)
+    assert ref_totals, 'no scalar eval outputs'
+    for k, v in ref_totals.items():
+        assert abs(vals[k] - v) <= 1e-4 * (abs(v) + 1.0), (k, vals[k], v)
+    emit('EVALREF %d ok' % pid)
+
 with open(sys.argv[4], 'w') as f:
     f.write('\n'.join(_results))
 """
@@ -136,13 +256,15 @@ def test_two_process_distributed_cpu(tmp_path):
 
     ckpt_root = tmp_path / 'ckpt'
     result_paths = [tmp_path / ('results_%d.txt' % i) for i in range(2)]
+    import jax as _jax
+    cache_dir = _jax.config.jax_compilation_cache_dir or ''
     procs = [subprocess.Popen(
         [sys.executable, str(worker), addr, str(i), str(ckpt_root),
-         str(result_paths[i])],
+         str(result_paths[i]), cache_dir],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for i in range(2)]
     for p in procs:
-        out, err = p.communicate(timeout=280)
+        out, err = p.communicate(timeout=540)
         assert p.returncode == 0, 'worker failed:\n%s\n%s' % (out, err)
     # Results come from per-process FILES, not stdout: Gloo writes its own
     # log lines into the shared stdout fd at arbitrary byte positions
@@ -184,3 +306,15 @@ def test_two_process_distributed_cpu(tmp_path):
         assert field(pid, 'CKPT') == 'ok'
     ckpts = list((tmp_path / 'ckpt' / 'checkpoints').iterdir())
     assert [p.name for p in ckpts] == ['0000007.ckpt']
+
+    # 10-step cross-process trajectory parity: both hosts observed the
+    # SAME loss sequence (one global computation), and host 0 verified it
+    # against its single-device trajectory (TRAJ ok).
+    assert field(0, 'TLOSS') == field(1, 'TLOSS')
+    assert field(0, 'TRAJ') == 'ok'
+
+    # Ragged multi-host final eval batch: padded to the compiled shape,
+    # weighted metrics identical across hosts and exactly matching the
+    # single-device weighted computation.
+    assert field(0, 'EVAL') == field(1, 'EVAL')
+    assert field(0, 'EVALREF') == 'ok'

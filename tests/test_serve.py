@@ -812,3 +812,50 @@ def test_mesh_serving_validates_batch_divisibility(spec, params):
     from eve_tpu.parallel.mesh import make_mesh
     with pytest.raises(ValueError, match='must divide'):
         ServingEngine(spec, params, max_batch=3, mesh=make_mesh(4))
+
+
+@pytest.mark.slow
+def test_device_resident_engine_matches_default(spec, params):
+    """device_resident=True (jit-assembled batches, device-kept session
+    state, jax-array inputs) must produce the default engine's results —
+    sessionless, and streamed across session chunks."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           device_resident=True)
+    try:
+        T = 4
+        [clip] = _clips(5, 1, T=T)
+        dev_clip = {k: jax.device_put(jnp.asarray(v))
+                    for k, v in clip.items()}
+        res = engine.infer(dev_clip, timeout=300)
+        ref = _direct(spec, params, clip)
+        for key in ('PoG_px_initial', 'PoG_px_final', 'left_pupil_size'):
+            np.testing.assert_allclose(res[key], np.asarray(ref[key])[0],
+                                       rtol=1e-4, atol=1e-3, err_msg=key)
+
+        # Streaming session: device-resident state across chunks == one
+        # full-clip forward; the state stays a jax Array between chunks.
+        sid = engine.open_session()
+        outs = []
+        for t0 in (0, T // 2):
+            chunk = {k: (v[t0:t0 + T // 2] if v.ndim >= 1 and
+                         v.shape[0] == T else v)
+                     for k, v in dev_clip.items()}
+            outs.append(engine.infer(chunk, session_id=sid, timeout=300))
+        with engine._sessions_lock:
+            state_leaf = jax.tree_util.tree_leaves(
+                engine._sessions[sid].state)[0]
+        assert isinstance(state_leaf, jax.Array)
+        engine.close_session(sid)
+        for key in ('PoG_px_initial', 'PoG_px_final', 'left_pupil_size'):
+            streamed = np.concatenate([o[key] for o in outs], axis=0)
+            np.testing.assert_allclose(streamed, np.asarray(ref[key])[0],
+                                       rtol=1e-4, atol=1e-3, err_msg=key)
+    finally:
+        engine.stop()
+
+
+def test_device_resident_rejects_artifact_and_mesh(spec, params):
+    from eve_tpu.parallel.mesh import make_mesh
+    with pytest.raises(ValueError, match='device_resident'):
+        ServingEngine(spec, params, max_batch=4, mesh=make_mesh(2),
+                      device_resident=True)
