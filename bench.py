@@ -15,7 +15,10 @@ bench_baseline.json). The reference publishes no benchmark numbers and no
 A100 is available here (BASELINE.md).
 
 ``--tpu-native-arch`` benchmarks the opt-in lane-filling topology
-(models/refine_net_tpu.py) instead of the reference-parity one.
+(models/refine_net_tpu.py) instead of the reference-parity one. The
+default run ALSO measures it and appends the result to the JSON line as
+``tpu_native_arch_frames_per_sec`` (``--no-tpu-native`` skips that), so
+the per-round bench records carry both topologies.
 
 Perf regression gate (VERDICT r3 item 6):
   bench.py --check    re-measure every metric in bench_bands.json and exit
@@ -215,6 +218,9 @@ def main():
     parser.add_argument('--record', action='store_true',
                         help='measure and (over)write bench_bands.json')
     parser.add_argument('--no-baseline', action='store_true')
+    parser.add_argument('--no-tpu-native', action='store_true',
+                        help='skip the extra opt-in-topology measurement '
+                             'appended to the default JSON line')
     parser.add_argument('--dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--input-dtype', default='uint8',
@@ -231,6 +237,22 @@ def main():
         dtype=args.dtype, input_dtype=args.input_dtype,
         pallas=args.pallas, tpu_native=args.tpu_native_arch)
 
+    # The headline stays the reference-parity topology (apples-to-apples
+    # with the reference model); the opt-in TPU-native topology's number
+    # rides along as an extra field so round records carry both. Skipped
+    # when the main measurement already used it, or on explicit opt-out.
+    tpu_native_fps = None
+    if args.tpu_native_arch:
+        tpu_native_fps = fps
+    elif not args.no_tpu_native:
+        try:
+            tpu_native_fps = measure_inference(
+                batch_size=args.batch, seq=args.seq, iters=args.iters,
+                dtype=args.dtype, input_dtype=args.input_dtype,
+                pallas=args.pallas, tpu_native=True)
+        except Exception as e:  # noqa: BLE001
+            print('tpu-native measurement failed: %s' % e, file=sys.stderr)
+
     vs_baseline = 0.0
     if not args.no_baseline:
         try:
@@ -240,12 +262,17 @@ def main():
         except Exception as e:  # noqa: BLE001
             print('baseline measurement failed: %s' % e, file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         'metric': 'eve_full_inference_frames_per_sec_per_chip',
         'value': round(fps, 2),
         'unit': 'frames/s',
         'vs_baseline': round(vs_baseline, 2),
-    }))
+    }
+    if args.tpu_native_arch:
+        line['metric'] = 'eve_full_inference_frames_per_sec_per_chip_tpu_native'
+    elif tpu_native_fps is not None:
+        line['tpu_native_arch_frames_per_sec'] = round(tpu_native_fps, 2)
+    print(json.dumps(line))
 
 
 if __name__ == '__main__':

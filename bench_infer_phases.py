@@ -52,6 +52,10 @@ def main():
     p.add_argument('--iters', type=int, default=20)
     p.add_argument('--dtype', default='bfloat16',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--tpu-native-arch', action='store_true',
+                   help='attribute the opt-in TPU-native topology '
+                        '(patchify stems + lane-filling refine pyramid) '
+                        'instead of the reference-parity one')
     args = p.parse_args()
 
     import jax
@@ -71,10 +75,12 @@ def main():
 
     full_spec = eve_lib.EveSpec(refine_net_enabled=True,
                                 load_screen_content=True,
-                                compute_dtype=args.dtype)
+                                compute_dtype=args.dtype,
+                                tpu_native_arch=args.tpu_native_arch)
     eye_spec = eve_lib.EveSpec(refine_net_enabled=False,
                                load_screen_content=False,
-                               compute_dtype=args.dtype)
+                               compute_dtype=args.dtype,
+                               tpu_native_arch=args.tpu_native_arch)
     params = eve_lib.init_params(full_spec, jax.random.PRNGKey(0))
     eye_params = {'eye_net': params['eye_net']}
 
@@ -129,6 +135,7 @@ def main():
         'value': full_row['ms'],
         'unit': 'ms/batch',
         'frames': frames,
+        'tpu_native_arch': args.tpu_native_arch,
         'phases': rows,
     }))
 

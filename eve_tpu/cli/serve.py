@@ -44,7 +44,8 @@ def main(argv=None):
         max_queue=config.serve_max_queue,
         request_timeout_s=config.serve_request_timeout_s,
         max_sessions=config.serve_max_sessions,
-        session_ttl_s=config.serve_session_ttl_s)
+        session_ttl_s=config.serve_session_ttl_s,
+        device_resident=config.serve_device_resident)
     if config.serve_num_devices > 1:
         # Data-parallel serving: each micro-batch shards over the mesh.
         from eve_tpu.parallel import mesh as mesh_lib

@@ -349,6 +349,13 @@ class DefaultConfig(object):
     # signature and the batch size. Empty = build the model from
     # --resume-from / $EVE_PRETRAINED_DIR as usual.
     serve_artifact = ''
+    # Keep per-session recurrent state in device memory and assemble
+    # micro-batches inside the jitted step: removes the per-chunk
+    # device->host->device round trip of session state (~100 KB/chunk at
+    # the flagship shapes). Measured compute-bound on-device path:
+    # BASELINE.md "Serving engine loopback". Single-device spec+params
+    # serving only (incompatible with serve_artifact / serve_num_devices).
+    serve_device_resident = False
 
     # Per-submodule optimizer settings: multiply the LR schedule for the
     # matching top-level parameter subtree. This expresses the reference's

@@ -859,3 +859,52 @@ def test_device_resident_rejects_artifact_and_mesh(spec, params):
     with pytest.raises(ValueError, match='device_resident'):
         ServingEngine(spec, params, max_batch=4, mesh=make_mesh(2),
                       device_resident=True)
+
+
+def test_cli_plumbs_serve_device_resident(monkeypatch):
+    """--serve-device-resident yes must reach the engine constructor (the
+    flag is config-generated; this pins the cli/serve.py plumb-through)."""
+    import eve_tpu.serve as serve_mod
+    import eve_tpu.infer as infer_mod
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.cli import serve as cli_serve
+
+    seen = {}
+
+    class FakeEngine:
+        max_batch = 8
+
+        def __init__(self, *a, **kw):
+            seen.update(kw)
+
+        def stop(self):
+            pass
+
+        def drain(self):
+            pass
+
+    class FakeServer:
+        server_address = ('127.0.0.1', 0)
+
+        def serve_forever(self):
+            pass
+
+        def shutdown(self):
+            pass
+
+        def server_close(self):
+            pass
+
+    monkeypatch.setattr(serve_mod, 'ServingEngine', FakeEngine)
+    monkeypatch.setattr(serve_mod, 'make_http_server',
+                        lambda engine, **kw: FakeServer())
+    monkeypatch.setattr(infer_mod, 'model_setup',
+                        lambda config, require_weights: ('spec', 'params'))
+    DefaultConfig._reset_instance_for_testing()
+    try:
+        cli_serve.main(argv=['--serve-device-resident', 'yes',
+                             '--refine-net-enabled', 'no',
+                             '--load-screen-content', 'no'])
+    finally:
+        DefaultConfig._reset_instance_for_testing()
+    assert seen.get('device_resident') is True
