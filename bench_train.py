@@ -51,6 +51,9 @@ def main():
     p.add_argument('--no-refine', action='store_true')
     p.add_argument('--remat-sweep', action='store_true',
                    help='measure full_step under each remat granularity')
+    p.add_argument('--tpu-native-arch', action='store_true',
+                   help='measure the opt-in TPU-native topology instead '
+                        'of the reference-parity one')
     args = p.parse_args()
 
     import jax
@@ -73,7 +76,8 @@ def main():
     def build(remat):
         spec = eve_lib.EveSpec(
             refine_net_enabled=refine, load_screen_content=refine,
-            compute_dtype=args.dtype, remat=remat)
+            compute_dtype=args.dtype, remat=remat,
+            tpu_native_arch=args.tpu_native_arch)
         params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
         tx = optax.chain(optax.clip_by_global_norm(5.0),
                          optax.scale_by_adam(),
@@ -148,7 +152,7 @@ def main():
         'value': round(t_full, 2), 'unit': 'ms',
         'frames_per_sec': round(fps, 1),
         'batch': args.batch, 'seq': args.seq, 'dtype': args.dtype,
-        'refine': refine,
+        'refine': refine, 'tpu_native_arch': args.tpu_native_arch,
     }))
 
 
