@@ -138,6 +138,8 @@ CHECKS = {
         lambda: measure_inference(tpu_native=True), 'frames/s', True),
     'train_step_ms': (
         lambda: measure_train_step_ms(), 'ms', False),
+    'train_step_ms_tpu_native': (
+        lambda: measure_train_step_ms(tpu_native=True), 'ms', False),
 }
 
 

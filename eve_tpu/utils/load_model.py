@@ -16,41 +16,77 @@ logger = logging.getLogger(__name__)
 MODEL_URL_PRE = 'https://github.com/swook/EVE/releases/download/v0.0/'
 
 
-def pretrained_filename(config, which):
-    """Release filename for the configured architecture."""
+def pretrained_filename(config, which, fmt='pt'):
+    """Release-style filename for the configured architecture.
+
+    ``fmt='pt'`` is the reference's torch release scheme. ``fmt='npz'``
+    is this framework's NATIVE pretrained format: the same architecture
+    encoding plus a ``_tpu`` marker when ``tpu_native_arch`` is set (the
+    TPU-native topology is not weight-compatible with the reference one,
+    so the two must never share a filename). A native file is simply a
+    checkpoint submodule file — copy
+    ``<run>/checkpoints/<N>.ckpt/eye_net.npz`` to
+    ``$EVE_PRETRAINED_DIR/<this name>`` to export a trained stage.
+    """
     if which == 'eye_net':
         name = 'eve_eyenet_'
         name += config.eye_net_rnn_type if config.eye_net_use_rnn else 'static'
-        return name + '.pt'
-    if which == 'refine_net':
+    elif which == 'refine_net':
         name = 'eve_refinenet_'
         name += (config.refine_net_rnn_type if config.refine_net_use_rnn
                  else 'static')
         name += '_oa' if config.refine_net_do_offset_augmentation else ''
         name += '_skip' if config.refine_net_use_skip_connections else ''
-        return name + '.pt'
-    raise ValueError('Unknown component: %s' % which)
+    else:
+        raise ValueError('Unknown component: %s' % which)
+    if fmt == 'npz':
+        if getattr(config, 'tpu_native_arch', False):
+            name += '_tpu'
+        return name + '.npz'
+    return name + '.pt'
+
+
+def _load_native_npz(path):
+    import numpy as np
+    from eve_tpu.train.checkpoint import unflatten_tree
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    return unflatten_tree(flat)
 
 
 def load_pretrained_params(config, which, pretrained_dir=None):
-    """Locate + convert released reference weights, or return None.
+    """Locate pretrained weights, or return None.
 
-    Searches ``pretrained_dir`` or ``$EVE_PRETRAINED_DIR`` for the release
-    filename. Download is impossible here (zero egress); users place the
-    files from ``MODEL_URL_PRE`` there manually.
+    Searches ``pretrained_dir`` or ``$EVE_PRETRAINED_DIR``, preferring the
+    NATIVE ``.npz`` format (a checkpoint submodule file, see
+    ``pretrained_filename``) and falling back to the reference's released
+    ``.pt`` (converted from the torch layout on load). With
+    ``tpu_native_arch`` only the native format is eligible — the released
+    torch weights cannot express the patchify topology. Download is
+    impossible here (zero egress); users place release files from
+    ``MODEL_URL_PRE`` there manually.
     """
-    from eve_tpu.utils.torch_convert import load_reference_checkpoint
-    fname = pretrained_filename(config, which)
+    tpu_native = getattr(config, 'tpu_native_arch', False)
     search = [d for d in (pretrained_dir, os.environ.get('EVE_PRETRAINED_DIR'))
               if d]
+    fname_npz = pretrained_filename(config, which, fmt='npz')
+    fnames = [fname_npz]
+    if not tpu_native:
+        fnames.append(pretrained_filename(config, which, fmt='pt'))
     for d in search:
-        path = os.path.join(d, fname)
-        if os.path.isfile(path):
+        for fname in fnames:
+            path = os.path.join(d, fname)
+            if not os.path.isfile(path):
+                continue
             logger.info('Loading pretrained %s from %s', which, path)
+            if fname.endswith('.npz'):
+                return _load_native_npz(path)
+            from eve_tpu.utils.torch_convert import load_reference_checkpoint
             return load_reference_checkpoint(path, which)
-    logger.warning('Pretrained weights %s not found locally (looked in %s); '
-                   'fetch from %s%s', fname, search or '[]',
-                   MODEL_URL_PRE, fname)
+    logger.warning('Pretrained weights %s not found locally (looked in %s)%s',
+                   ' or '.join(fnames), search or '[]',
+                   '' if tpu_native else '; fetch from %s%s' % (
+                       MODEL_URL_PRE, fnames[-1]))
     return None
 
 
@@ -79,26 +115,30 @@ def bootstrap_pretrained(config, params, pretrained_dir=None):
     frozen *random* EyeNet would corrupt the two-stage workflow.
     """
     wanted = []
-    if getattr(config, 'tpu_native_arch', False) and (
-            config.eye_net_load_pretrained or
-            (config.refine_net_enabled and
-             config.refine_net_load_pretrained)):
-        raise ValueError(
-            'tpu_native_arch is enabled but *_load_pretrained is set: the '
-            'TPU-native topology (patchify stems, lane-filling refine '
-            'pyramid) is NOT weight-compatible with the reference release '
-            'checkpoints. Train from scratch, or disable tpu_native_arch.')
     if config.eye_net_load_pretrained:
         wanted.append('eye_net')
     if config.refine_net_enabled and config.refine_net_load_pretrained:
         wanted.append('refine_net')
     loaded = []
+    tpu_native = getattr(config, 'tpu_native_arch', False)
     for which in wanted:
         new = load_pretrained_params(config, which, pretrained_dir)
         if new is None:
-            fname = pretrained_filename(config, which)
+            fname = pretrained_filename(
+                config, which, fmt='npz' if tpu_native else 'pt')
             search = [d for d in (pretrained_dir,
                                   os.environ.get('EVE_PRETRAINED_DIR')) if d]
+            if tpu_native:
+                raise FileNotFoundError(
+                    'config.%s_load_pretrained is set with tpu_native_arch '
+                    'but %s was not found (searched: %s). The TPU-native '
+                    'topology is NOT weight-compatible with the reference '
+                    'release .pt checkpoints — export a native stage '
+                    'instead (copy <run>/checkpoints/<N>.ckpt/%s.npz to '
+                    '$EVE_PRETRAINED_DIR/%s); refusing to train against a '
+                    'randomly initialized %s.'
+                    % (which, fname, search or ['<unset>'], which, fname,
+                       which))
             raise FileNotFoundError(
                 'config.%s_load_pretrained is set but %s was not found '
                 '(searched: %s). Download it from %s%s and place it under '

@@ -189,15 +189,54 @@ def test_converters_refuse_tpu_native():
         tc.refine_net_params_to_torch(params['refine_net'])
 
 
-def test_bootstrap_pretrained_refuses_tpu_native(tmp_path):
+def test_bootstrap_pretrained_tpu_native_needs_native_weights(tmp_path):
+    """tpu_native + *_load_pretrained must refuse the torch release format
+    (even if present) and demand the native .npz export instead."""
     from eve_tpu.config import DefaultConfig
     from eve_tpu.utils.load_model import bootstrap_pretrained
     DefaultConfig._reset_instance_for_testing()
     config = DefaultConfig()
     config.import_dict({'tpu_native_arch': True,
                         'eye_net_load_pretrained': True})
-    with pytest.raises(ValueError, match='not weight-compatible|NOT weight'):
-        bootstrap_pretrained(config, params={})
+    # A torch release file present in the search dir must NOT be eligible.
+    (tmp_path / 'eve_eyenet_GRU.pt').write_bytes(b'not-a-real-checkpoint')
+    with pytest.raises(FileNotFoundError, match='NOT weight-compatible'):
+        bootstrap_pretrained(config, params={},
+                             pretrained_dir=str(tmp_path))
+    DefaultConfig._reset_instance_for_testing()
+
+
+def test_bootstrap_pretrained_tpu_native_npz_roundtrip(tmp_path):
+    """The native pretrained path: a checkpoint submodule .npz exported as
+    eve_eyenet_GRU_tpu.npz bootstraps a fresh tpu-native model exactly
+    (the staged training workflow on the TPU-native topology)."""
+    import numpy as np
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.train.checkpoint import flatten_tree
+    from eve_tpu.utils.load_model import bootstrap_pretrained
+    spec = _spec()
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(7))
+    trained_eye = jax.tree.map(lambda x: np.asarray(x) + 1.0,
+                               params['eye_net'])
+    np.savez(tmp_path / 'eve_eyenet_GRU_tpu.npz',
+             **flatten_tree(trained_eye))
+
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'tpu_native_arch': True,
+                        'eye_net_load_pretrained': True})
+    fresh = eve_lib.init_params(spec, jax.random.PRNGKey(8))
+    fresh = dict(fresh)
+    loaded = bootstrap_pretrained(config, fresh,
+                                  pretrained_dir=str(tmp_path))
+    assert loaded == ['eye_net']
+    got = flatten_tree(fresh['eye_net'])
+    want = flatten_tree(trained_eye)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    DefaultConfig._reset_instance_for_testing()
 
 
 def test_default_arch_unchanged():
