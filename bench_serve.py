@@ -144,6 +144,9 @@ def main():
                         '(defeats relay transfer memoization)')
     p.add_argument('--dtype', default='bfloat16',
                    choices=['float32', 'bfloat16'])
+    p.add_argument('--tpu-native-arch', action='store_true',
+                   help='serve the opt-in TPU-native topology instead of '
+                        'the reference-parity one')
     p.add_argument('--loopback', action='store_true',
                    help='engine compute-bound measurement: device_resident '
                         'engine + pre-staged device-resident inputs, no '
@@ -161,7 +164,8 @@ def main():
 
     spec = eve_lib.EveSpec(refine_net_enabled=True,
                            load_screen_content=True,
-                           compute_dtype=args.dtype)
+                           compute_dtype=args.dtype,
+                           tpu_native_arch=args.tpu_native_arch)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     engine = ServingEngine(spec, params, max_batch=args.max_batch,
                            max_delay_ms=5.0, request_timeout_s=600.0,
@@ -238,6 +242,7 @@ def main():
         'chunk_p95_ms': round(float(np.percentile(lat_ms, 95)), 1),
         'batches': engine.stats['batches'],
         'requests': engine.stats['requests'],
+        'tpu_native_arch': args.tpu_native_arch,
     }
     if raw_step_ms is not None:
         # Batcher overhead per dispatched micro-batch, judged against the
