@@ -84,8 +84,16 @@ def main():
 
     def step(s):
         bb = dict(batch)
-        # Frames are uint8 (on-device preprocess path); thread the carry
-        # through the float head-pose input instead.
+        # The carry must feed EVERY major compute band, or XLA hoists the
+        # loop-invariant part out of the fori_loop and the bench measures
+        # only the remainder (caught in the act: with only the head-pose
+        # perturbed, B=1 read 0.30 ms/step — the whole conv stack had
+        # been hoisted). Frames are uint8 (on-device preprocess path):
+        # add a data-dependent 0/1 so the CNN inputs change every step.
+        delta = (s.astype(jnp.int32) & 1).astype(jnp.uint8)
+        for k in ('left_eye_patch', 'right_eye_patch', 'screen_frame'):
+            if k in bb:
+                bb[k] = batch[k] + delta
         bb['left_h'] = batch['left_h'] + s
         out = eve_lib.forward(spec, params, bb, training=False,
                               output_predictions=True)
