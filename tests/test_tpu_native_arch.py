@@ -207,35 +207,44 @@ def test_bootstrap_pretrained_tpu_native_needs_native_weights(tmp_path):
 
 
 def test_bootstrap_pretrained_tpu_native_npz_roundtrip(tmp_path):
-    """The native pretrained path: a checkpoint submodule .npz exported as
-    eve_eyenet_GRU_tpu.npz bootstraps a fresh tpu-native model exactly
-    (the staged training workflow on the TPU-native topology)."""
+    """The native pretrained path: checkpoint submodule .npz files exported
+    as eve_eyenet_GRU_tpu.npz / eve_refinenet_CGRU_oa_skip_tpu.npz
+    bootstrap a fresh tpu-native model exactly (the staged training
+    workflow on the TPU-native topology), for BOTH components."""
     import numpy as np
     from eve_tpu.config import DefaultConfig
     from eve_tpu.train.checkpoint import flatten_tree
-    from eve_tpu.utils.load_model import bootstrap_pretrained
+    from eve_tpu.utils.load_model import (bootstrap_pretrained,
+                                          pretrained_filename)
     spec = _spec()
     params = eve_lib.init_params(spec, jax.random.PRNGKey(7))
-    trained_eye = jax.tree.map(lambda x: np.asarray(x) + 1.0,
-                               params['eye_net'])
-    np.savez(tmp_path / 'eve_eyenet_GRU_tpu.npz',
-             **flatten_tree(trained_eye))
+    trained = {which: jax.tree.map(lambda x: np.asarray(x) + 1.0,
+                                   params[which])
+               for which in ('eye_net', 'refine_net')}
 
     DefaultConfig._reset_instance_for_testing()
     config = DefaultConfig()
     config.import_dict({'tpu_native_arch': True,
-                        'eye_net_load_pretrained': True})
-    fresh = eve_lib.init_params(spec, jax.random.PRNGKey(8))
-    fresh = dict(fresh)
+                        'refine_net_enabled': True,
+                        'eye_net_load_pretrained': True,
+                        'refine_net_load_pretrained': True})
+    for which in trained:
+        fname = pretrained_filename(config, which, fmt='npz')
+        assert fname.endswith('_tpu.npz'), fname
+        np.savez(tmp_path / fname, **flatten_tree(trained[which]))
+
+    fresh = dict(eve_lib.init_params(spec, jax.random.PRNGKey(8)))
     loaded = bootstrap_pretrained(config, fresh,
                                   pretrained_dir=str(tmp_path))
-    assert loaded == ['eye_net']
-    got = flatten_tree(fresh['eye_net'])
-    want = flatten_tree(trained_eye)
-    assert set(got) == set(want)
-    for k in want:
-        np.testing.assert_array_equal(np.asarray(got[k]),
-                                      np.asarray(want[k]), err_msg=k)
+    assert sorted(loaded) == ['eye_net', 'refine_net']
+    for which in trained:
+        got = flatten_tree(fresh[which])
+        want = flatten_tree(trained[which])
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(want[k]),
+                                          err_msg='%s/%s' % (which, k))
     DefaultConfig._reset_instance_for_testing()
 
 
