@@ -43,7 +43,8 @@ REL_TOL = 0.06
 
 
 def measure_inference(batch_size=16, seq=30, iters=20, dtype='bfloat16',
-                      input_dtype='uint8', pallas=False, tpu_native=False):
+                      input_dtype='uint8', pallas=False, tpu_native=False,
+                      stem='patchify'):
     """Measure end-to-end inference frames/s with device-resident inputs."""
     import jax
     import jax.numpy as jnp
@@ -53,7 +54,7 @@ def measure_inference(batch_size=16, seq=30, iters=20, dtype='bfloat16',
     spec = eve_lib.EveSpec(
         refine_net_enabled=True, load_screen_content=True,
         compute_dtype=dtype, use_pallas=pallas,
-        tpu_native_arch=tpu_native)
+        tpu_native_arch=tpu_native, tpu_native_stem=stem)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     # Several distinct device-resident batches, cycled in the timing loop so
@@ -209,6 +210,10 @@ def main():
                              'the live Mosaic toolchain)')
     parser.add_argument('--no-pallas', action='store_true',
                         help='(deprecated, now the default)')
+    parser.add_argument('--tpu-native-stem', default='patchify',
+                        choices=['patchify', 'patchify8'],
+                        help='TPU-native EyeNet stem variant (patchify8 = '
+                             'stride-8 coarse stem, BASELINE.md)')
     parser.add_argument('--tpu-native-arch', action='store_true',
                         help='benchmark the opt-in TPU-native topology '
                              '(patchify stems + lane-filling refine '
@@ -237,7 +242,8 @@ def main():
     fps = measure_inference(
         batch_size=args.batch, seq=args.seq, iters=args.iters,
         dtype=args.dtype, input_dtype=args.input_dtype,
-        pallas=args.pallas, tpu_native=args.tpu_native_arch)
+        pallas=args.pallas, tpu_native=args.tpu_native_arch,
+        stem=args.tpu_native_stem)
 
     # The headline stays the reference-parity topology (apples-to-apples
     # with the reference model); the opt-in TPU-native topology's number

@@ -65,6 +65,8 @@ def main():
     p.add_argument('--dtype', default='bfloat16',
                    choices=['float32', 'bfloat16'])
     p.add_argument('--tpu-native-arch', action='store_true')
+    p.add_argument('--tpu-native-stem', default='patchify',
+                   choices=['patchify', 'patchify8'])
     args = p.parse_args()
 
     import jax
@@ -74,7 +76,8 @@ def main():
 
     spec = eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True,
                            compute_dtype=args.dtype,
-                           tpu_native_arch=args.tpu_native_arch)
+                           tpu_native_arch=args.tpu_native_arch,
+                           tpu_native_stem=args.tpu_native_stem)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     b = make_synthetic_batch(rng, batch_size=args.batch,

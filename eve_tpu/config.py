@@ -227,6 +227,12 @@ class DefaultConfig(object):
     # reference/released checkpoints — the converter refuses; train from
     # scratch. The default (off) path's reference parity is untouched.
     tpu_native_arch = False
+    # TPU-native EyeNet stem variant: 'patchify' (8x8/4, the demonstrated
+    # default) or 'patchify8' (8x8/8 — quarters every residual stage's
+    # spatial work for a faster, coarser backbone; measured speed AND
+    # held-out-accuracy trade recorded in BASELINE.md before offering).
+    # Ignored unless tpu_native_arch is set.
+    tpu_native_stem = 'patchify'
 
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0

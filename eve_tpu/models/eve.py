@@ -77,6 +77,11 @@ class EveSpec:
     # the converter refuses): patchify EyeNet stem + lane-filling RefineNet
     # pyramid with a sub-pixel head. See models/refine_net_tpu.py.
     tpu_native_arch: bool = False
+    # Which patchify stem the TPU-native EyeNet uses: 'patchify' (8x8/4,
+    # the demonstrated default) or 'patchify8' (8x8/8 — quarters every
+    # residual stage's spatial work; see BASELINE.md for the measured
+    # speed/accuracy trade). Ignored unless tpu_native_arch.
+    tpu_native_stem: str = 'patchify'
     # Rematerialize CNN activations in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for not storing activations —
     # enables much larger B*T per chip. Granularity: 'none', 'eye' (ResNet
@@ -134,6 +139,7 @@ class EveSpec:
             compute_dtype=config.tpu_compute_dtype,
             use_pallas=config.tpu_use_pallas,
             tpu_native_arch=getattr(config, 'tpu_native_arch', False),
+            tpu_native_stem=getattr(config, 'tpu_native_stem', 'patchify'),
             remat=getattr(config, 'tpu_remat', 'none'),
         )
 
@@ -149,7 +155,8 @@ class EveSpec:
             rnn_num_cells=self.eye_net_rnn_num_cells,
             use_head_pose_input=self.eye_net_use_head_pose_input,
             compute_dtype=self.dtype,
-            stem='patchify' if self.tpu_native_arch else 'reference',
+            stem=self.tpu_native_stem if self.tpu_native_arch
+            else 'reference',
         )
 
     def build_refine_net(self):

@@ -61,22 +61,35 @@ class ResNet18IN(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (N, H, W, 3) in [-1, 1]
-        # Inputs below 33px reach layer4 at 1x1 spatial, where per-instance
-        # normalization maps every activation to exactly 0 — the output then
-        # carries NO information about the input (verified empirically; the
-        # reference always runs 128x128 eyes so never hits this). Warn, not
-        # raise: plumbing tests legitimately run tiny patches where pixel
-        # information flow is irrelevant, but a real model trained this
-        # small would silently ignore its input.
-        if min(x.shape[-3:-1]) < 33:
+        # Inputs that reach layer4 at 1x1 spatial hit a degeneracy: per-
+        # instance normalization maps every activation to exactly 0 — the
+        # output then carries NO information about the input (verified
+        # empirically; the reference always runs 128x128 eyes so never
+        # hits this). The threshold scales with the stem's composite
+        # stride: 33px for the stride-4 stems, 65px for the stride-8
+        # 'patchify8' stem. Warn, not raise: plumbing tests legitimately
+        # run tiny patches where pixel information flow is irrelevant,
+        # but a real model trained this small would silently ignore its
+        # input.
+        min_px = 65 if self.stem == 'patchify8' else 33
+        if min(x.shape[-3:-1]) < min_px:
             import logging
             logging.getLogger(__name__).warning(
-                'ResNet18IN input %s is below 33px: instance norm at the '
-                '1x1 layer4 resolution erases the pixel signal; the model '
-                'cannot learn from these patches.', x.shape)
+                'ResNet18IN input %s is below %dpx (stem=%s): instance '
+                'norm at the 1x1 layer4 resolution erases the pixel '
+                'signal; the model cannot learn from these patches.',
+                x.shape, min_px, self.stem)
         x = x.astype(self.compute_dtype)
         if self.stem == 'patchify':
             x = Conv(64, 8, 4, 2, use_bias=False, name='stem_conv')(x)
+            x = InstanceNorm(64, affine=False, name='stem_in')(x)
+            x = nn.relu(x)
+        elif self.stem == 'patchify8':
+            # Experimental coarser variant: composite stride 8 (16x16 grid
+            # for 128px inputs) quarters every residual stage's spatial
+            # work. Same kernel SHAPE as 'patchify' (8x8x3x64), different
+            # stride — measured in BASELINE.md before being offered.
+            x = Conv(64, 8, 8, 0, use_bias=False, name='stem_conv')(x)
             x = InstanceNorm(64, affine=False, name='stem_in')(x)
             x = nn.relu(x)
         else:

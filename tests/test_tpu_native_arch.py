@@ -255,3 +255,56 @@ def test_default_arch_unchanged():
     spec_tpu = _spec()
     assert isinstance(spec_tpu.build_refine_net(), RefineNetTPU)
     assert spec_tpu.build_eye_net().stem == 'patchify'
+
+
+def test_patchify8_stem_variant(rng):
+    """tpu_native_stem='patchify8' (8x8/8 coarse stem): same param
+    STRUCTURE as 'patchify' (only the stride differs), working forward +
+    finite loss gradient, and the config key plumbs through EveSpec."""
+    from eve_tpu.config import DefaultConfig
+    spec8 = _spec(tpu_native_stem='patchify8', compute_dtype='float32')
+    spec4 = _spec(compute_dtype='float32')
+    assert spec8.build_eye_net().stem == 'patchify8'
+
+    p8 = eve_lib.init_params(spec8, jax.random.PRNGKey(0))
+    p4 = eve_lib.init_params(spec4, jax.random.PRNGKey(0))
+    s8 = jax.tree_util.tree_structure(p8)
+    s4 = jax.tree_util.tree_structure(p4)
+    assert s8 == s4  # stride-only change: identical parameter trees
+
+    # Zero-init heads block upstream gradients at exactly step 0 (the
+    # reference's own property); perturb them so the stem-gradient check
+    # below sees steady-state flow.
+    for path in (('refine_net', 'final_2'), ('eye_net', 'fc_to_gaze_2')):
+        node = p8
+        for p in path[:-1]:
+            node = node[p]
+        k = node[path[-1]]['kernel']
+        node[path[-1]]['kernel'] = 0.01 * jax.random.normal(
+            jax.random.PRNGKey(7), k.shape, k.dtype)
+
+    # 128px eyes: the stride-8 stem reaches layer4 at 2x2 — below 65px it
+    # would be 1x1, where instance norm erases the pixel signal (the
+    # stem-aware warning threshold in resnet.py).
+    batch = _batch(rng, eyes=128)
+
+    def loss(params):
+        out = eve_lib.forward(spec8, params, batch, training=False,
+                              output_predictions=True)
+        return jnp.mean(out['PoG_px_final']), out
+
+    (val, out), grads = jax.value_and_grad(loss, has_aux=True)(p8)
+    assert np.isfinite(float(val))
+    assert out['PoG_px_final'].shape == (2, 2, 2)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # The stem conv itself receives gradient (pixels -> gaze path alive).
+    g_stem = np.asarray(grads['eye_net']['cnn']['stem_conv']['kernel'])
+    assert np.any(g_stem != 0)
+
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'tpu_native_arch': True,
+                        'tpu_native_stem': 'patchify8'})
+    assert eve_lib.EveSpec.from_config(config).tpu_native_stem == 'patchify8'
+    DefaultConfig._reset_instance_for_testing()
