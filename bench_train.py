@@ -54,6 +54,8 @@ def main():
     p.add_argument('--tpu-native-arch', action='store_true',
                    help='measure the opt-in TPU-native topology instead '
                         'of the reference-parity one')
+    p.add_argument('--tpu-native-stem', default='patchify',
+                   choices=['patchify', 'patchify8'])
     args = p.parse_args()
 
     import jax
@@ -77,7 +79,8 @@ def main():
         spec = eve_lib.EveSpec(
             refine_net_enabled=refine, load_screen_content=refine,
             compute_dtype=args.dtype, remat=remat,
-            tpu_native_arch=args.tpu_native_arch)
+            tpu_native_arch=args.tpu_native_arch,
+            tpu_native_stem=args.tpu_native_stem)
         params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
         tx = optax.chain(optax.clip_by_global_norm(5.0),
                          optax.scale_by_adam(),
@@ -153,6 +156,7 @@ def main():
         'frames_per_sec': round(fps, 1),
         'batch': args.batch, 'seq': args.seq, 'dtype': args.dtype,
         'refine': refine, 'tpu_native_arch': args.tpu_native_arch,
+        'tpu_native_stem': args.tpu_native_stem,
     }))
 
 
