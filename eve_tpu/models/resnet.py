@@ -92,12 +92,18 @@ class ResNet18IN(nn.Module):
             x = Conv(64, 8, 8, 0, use_bias=False, name='stem_conv')(x)
             x = InstanceNorm(64, affine=False, name='stem_in')(x)
             x = nn.relu(x)
-        else:
+        elif self.stem == 'reference':
             x = Conv(64, 7, 2, 3, use_bias=False, name='conv1')(x)
             x = InstanceNorm(64, affine=False, name='in1')(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)))
+        else:
+            # A typo'd stem in a config JSON must not silently train the
+            # reference stem under _tpu-marked filenames.
+            raise ValueError(
+                "Unknown ResNet18IN stem %r (expected 'reference', "
+                "'patchify' or 'patchify8')" % (self.stem,))
         plan = [(64, 1), (128, 2), (256, 2), (512, 2)]
         for stage, (feats, stride) in enumerate(plan):
             x = BasicBlock(feats, stride, downsample=(stride != 1),

@@ -258,7 +258,12 @@ class ServingEngine:
         else:
             self._zero_state = jax.tree.map(
                 np.asarray, eve_lib.init_stream_state(spec, 1))
+        # Compiled-step caches, one per assembly variant (host-stacked vs
+        # device-resident slots) so max_signatures bounds DISTINCT SHAPES
+        # per variant — an engine that compiles both variants for the same
+        # shape must not hit the limit at half the configured count.
         self._jit_cache = {}
+        self._jit_cache_slots = {}
         # Counters are bumped from the batcher thread AND from caller/HTTP
         # threads (rejections, timeouts); dict-item += is not atomic, so
         # every mutation goes through _stat_inc.
@@ -665,9 +670,9 @@ class ServingEngine:
         traced graph so one dispatch covers stack + model. Device-resident
         inputs/states then never touch the host.
         """
-        fn = self._jit_cache.get(('slots', signature))
+        fn = self._jit_cache_slots.get(signature)
         if fn is None:
-            if len(self._jit_cache) >= self.max_signatures:
+            if len(self._jit_cache_slots) >= self.max_signatures:
                 raise RuntimeError(
                     'input-signature limit reached (%d distinct shapes); '
                     'pad clips to a fixed shape client-side'
@@ -692,7 +697,7 @@ class ServingEngine:
                 out['states'] = states_out
                 return out
 
-            fn = self._jit_cache[('slots', signature)] = step
+            fn = self._jit_cache_slots[signature] = step
         return fn
 
     def _dispatch(self, reqs: List[_Request]):

@@ -23,8 +23,13 @@ def pretrained_filename(config, which, fmt='pt'):
     is this framework's NATIVE pretrained format: the same architecture
     encoding plus a ``_tpu`` marker when ``tpu_native_arch`` is set (the
     TPU-native topology is not weight-compatible with the reference one,
-    so the two must never share a filename). A native file is simply a
-    checkpoint submodule file — copy
+    so the two must never share a filename). The EyeNet marker also
+    encodes the patch-embedding stem variant (``_tpu`` = stride-4
+    ``patchify``, ``_tpu8`` = stride-8 ``patchify8``): the two stems have
+    byte-identical parameter trees (same 8x8x3x64 kernel — the stride is
+    architecture, not weights), so a shape guard alone cannot stop a
+    stride-4 export from silently bootstrapping a stride-8 model. A
+    native file is simply a checkpoint submodule file — copy
     ``<run>/checkpoints/<N>.ckpt/eye_net.npz`` to
     ``$EVE_PRETRAINED_DIR/<this name>`` to export a trained stage.
     """
@@ -41,7 +46,13 @@ def pretrained_filename(config, which, fmt='pt'):
         raise ValueError('Unknown component: %s' % which)
     if fmt == 'npz':
         if getattr(config, 'tpu_native_arch', False):
-            name += '_tpu'
+            stem = getattr(config, 'tpu_native_stem', 'patchify')
+            if which == 'eye_net' and stem != 'patchify':
+                # Stems are weight-shape-identical but stride-incompatible;
+                # the filename is the only guard (see docstring).
+                name += {'patchify8': '_tpu8'}.get(stem, '_tpu_' + stem)
+            else:
+                name += '_tpu'
         return name + '.npz'
     return name + '.pt'
 

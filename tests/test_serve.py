@@ -327,6 +327,26 @@ def test_signature_limit(spec, params):
         engine.stop()
 
 
+def test_signature_limit_counts_per_variant(spec, params):
+    """max_signatures bounds distinct SHAPES per assembly variant: an
+    engine that compiles both the default and the device-resident 'slots'
+    step for the same shape must not hit the limit at half the configured
+    count (ADVICE r4: the combined len() check fired early and reported a
+    misleading 'distinct shapes' number)."""
+    engine = ServingEngine(spec, params, max_batch=2, max_delay_ms=1.0,
+                           max_signatures=1)
+    try:
+        sig_a, sig_b = ('sig_a',), ('sig_b',)
+        engine._get_jit(sig_a)        # fills the default-variant slot
+        engine._get_jit_slots(sig_a)  # same shape, other variant: allowed
+        with pytest.raises(RuntimeError, match='signature limit'):
+            engine._get_jit(sig_b)
+        with pytest.raises(RuntimeError, match='signature limit'):
+            engine._get_jit_slots(sig_b)
+    finally:
+        engine.stop()
+
+
 def test_served_outputs_bound_device_fetch(spec, params):
     """The jitted step returns only the served keys (plus nothing else
     batch-shaped), so dispatches don't fetch input echoes or loss arrays."""

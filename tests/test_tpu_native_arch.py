@@ -248,6 +248,63 @@ def test_bootstrap_pretrained_tpu_native_npz_roundtrip(tmp_path):
     DefaultConfig._reset_instance_for_testing()
 
 
+def test_pretrained_filename_encodes_stem_variant():
+    """patchify and patchify8 EyeNets have byte-identical parameter trees
+    (only the stride differs), so the shape guard in bootstrap_pretrained
+    cannot tell them apart — the FILENAME must (a stride-4 export loading
+    into a stride-8 config would be the exact silent-wrong-weights failure
+    the refusal machinery exists to prevent). RefineNet has no stem, so
+    its filename stays stem-independent."""
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.utils.load_model import pretrained_filename
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'tpu_native_arch': True, 'refine_net_enabled': True})
+    assert pretrained_filename(config, 'eye_net', fmt='npz') == \
+        'eve_eyenet_GRU_tpu.npz'
+    config.import_dict({'tpu_native_stem': 'patchify8'})
+    assert pretrained_filename(config, 'eye_net', fmt='npz') == \
+        'eve_eyenet_GRU_tpu8.npz'
+    assert pretrained_filename(config, 'refine_net', fmt='npz').endswith(
+        '_tpu.npz')
+    DefaultConfig._reset_instance_for_testing()
+
+
+def test_bootstrap_refuses_wrong_stem_variant(tmp_path):
+    """An eye_net npz exported from a stride-4 ('_tpu') run must NOT load
+    into a --tpu-native-stem patchify8 config: the patchify8 lookup name is
+    '_tpu8', so the '_tpu' file is simply not found and bootstrap raises."""
+    import numpy as np
+    import pytest
+    from eve_tpu.config import DefaultConfig
+    from eve_tpu.train.checkpoint import flatten_tree
+    from eve_tpu.utils.load_model import bootstrap_pretrained
+    spec = _spec()
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(7))
+    DefaultConfig._reset_instance_for_testing()
+    config = DefaultConfig()
+    config.import_dict({'tpu_native_arch': True,
+                        'tpu_native_stem': 'patchify8',
+                        'eye_net_load_pretrained': True})
+    np.savez(tmp_path / 'eve_eyenet_GRU_tpu.npz',
+             **flatten_tree(params['eye_net']))
+    with pytest.raises(FileNotFoundError, match='eve_eyenet_GRU_tpu8.npz'):
+        bootstrap_pretrained(config, dict(params),
+                             pretrained_dir=str(tmp_path))
+    DefaultConfig._reset_instance_for_testing()
+
+
+def test_unknown_stem_raises(rng):
+    """A typo'd stem value must raise at trace time, not silently build
+    the reference stem under _tpu-marked filenames (ADVICE r4)."""
+    import pytest
+    from eve_tpu.models.resnet import ResNet18IN
+    model = ResNet18IN(num_classes=8, stem='patchify4')
+    x = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    with pytest.raises(ValueError, match='Unknown ResNet18IN stem'):
+        model.init(jax.random.PRNGKey(0), x)
+
+
 def test_default_arch_unchanged():
     spec = eve_lib.EveSpec(refine_net_enabled=True)
     assert isinstance(spec.build_refine_net(), RefineNet)
