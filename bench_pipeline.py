@@ -35,6 +35,10 @@ def main():
     p.add_argument('--uint8', action='store_true',
                    help='on-device preprocessing path '
                         '(tpu_on_device_preprocess)')
+    p.add_argument('--frame-cache', default='',
+                   help='enable the decode-once disk cache at this path; '
+                        'adds a warm (epoch>=2) measurement per worker '
+                        'count after one populating pass')
     args = p.parse_args()
 
     import jax
@@ -56,6 +60,7 @@ def main():
         'assumed_frame_rate': 10, 'eyes_size': [args.eyes, args.eyes],
         'load_screen_content': False, 'refine_net_enabled': False,
         'tpu_on_device_preprocess': bool(args.uint8),
+        'frame_cache_dir': args.frame_cache,
     })
     spec = eve_lib.EveSpec.from_config(cfg)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
@@ -66,10 +71,15 @@ def main():
         return out['full_loss']
 
     def make_loader(workers):
+        # Dataset-local segmentation cache: the pkl is keyed by Hz/seqlen
+        # only, so a cwd-shared ./segmentation_cache built against a
+        # DIFFERENT dataset would serve stale window indices here.
         ds = EVESequencesBase(args.datasrc, config=cfg,
                               participants_to_use=['train01', 'train02'],
                               cameras_to_use=['webcam_c'],
-                              types_of_stimuli=['image'])
+                              types_of_stimuli=['image'],
+                              cache_dir=os.path.join(args.datasrc,
+                                                     '.segcache'))
         return ds, DataLoader(ds, batch_size=args.batch, shuffle=True,
                               drop_last=True, num_workers=workers, seed=0)
 
@@ -102,6 +112,11 @@ def main():
 
     for workers in args.workers:
         ds, loader = make_loader(workers)
+        if args.frame_cache:
+            # Populating pass (epoch 1): decode everything once so the
+            # measured loop below is the warm epoch >= 2 regime.
+            for _ in loader:
+                pass
         n = 0
         t0 = time.perf_counter()
         steps_done = 0
@@ -115,7 +130,9 @@ def main():
         jax.block_until_ready(out)
         fps = n / (time.perf_counter() - t0)
         print(json.dumps({
-            'metric': 'pipeline_end_to_end_fps', 'workers': workers,
+            'metric': ('pipeline_end_to_end_fps_warm_cache'
+                       if args.frame_cache else 'pipeline_end_to_end_fps'),
+            'workers': workers,
             'value': round(fps, 1), 'unit': 'frames/s',
             'pct_of_ceiling': round(100.0 * fps / ceiling, 1)}))
 

@@ -233,6 +233,21 @@ class DefaultConfig(object):
     # held-out-accuracy trade recorded in BASELINE.md before offering).
     # Ignored unless tpu_native_arch is set.
     tpu_native_stem = 'patchify'
+    # TPU-native refined-PoG readout: 'heatmap' (reference semantics —
+    # soft-argmax of the refined heatmap IS the final estimate) or
+    # 'gated' (residual readout: the final estimate is the INITIAL
+    # estimate plus a learned, per-frame sigmoid-gated step toward the
+    # heatmap's soft-argmax plus a learned sub-bin px correction, all
+    # predicted from the decoder features). Motivation: the refined
+    # estimate re-read off a 128x72 heatmap has a measured ~55-80 px
+    # representational floor on this protocol (BASELINE.md staged study +
+    # decode ablation) — when the initial estimate is ALREADY below that
+    # floor, heatmap readout can only drag it back up. The gated readout
+    # is initialized at gate~0 (final == initial) so refinement provably
+    # starts from "never hurts" and must EARN its correction; the
+    # heatmap, CE loss, and every output/metric name are unchanged.
+    # Ignored unless tpu_native_arch is set.
+    tpu_native_refine_head = 'heatmap'
 
     # Data-parallel mesh size; 0 = use all visible devices.
     tpu_num_devices = 0
@@ -359,8 +374,10 @@ class DefaultConfig(object):
     # micro-batches inside the jitted step: removes the per-chunk
     # device->host->device round trip of session state (~100 KB/chunk at
     # the flagship shapes). Measured compute-bound on-device path:
-    # BASELINE.md "Serving engine loopback". Single-device spec+params
-    # serving only (incompatible with serve_artifact / serve_num_devices).
+    # BASELINE.md "Serving engine loopback". Composes with
+    # serve_num_devices (batch slots shard over the data mesh while each
+    # session's state stays in device memory replicated across it);
+    # incompatible with serve_artifact only.
     serve_device_resident = False
 
     # Per-submodule optimizer settings: multiply the LR schedule for the
@@ -385,6 +402,21 @@ class DefaultConfig(object):
     # Host data pipeline
     prefetch_buffer_size = 2
     use_native_framepack = True
+
+    # Decode-once packed-frame disk cache for the windowed training path
+    # (eve_tpu/data/framecache.py). The reference re-decodes every window
+    # from its mp4 every epoch (src/datasources/common.py:50-120); with
+    # decode profiled at ~61% of warmed host item cost (BASELINE.md
+    # "Host-pipeline scaling"), all epochs after the first were pure
+    # waste. When set, each decoded window's uint8 frames + timestamps
+    # are written once under this directory (content-keyed by video
+    # path/mtime/size/indices, atomic writes, corrupt entries re-decoded)
+    # and later epochs read from disk instead of the codec. '' disables.
+    frame_cache_dir = ''
+    # Disk budget for frame_cache_dir in GiB; least-recently-written
+    # entries are evicted beyond it (checked at attach + every 256
+    # writes).
+    frame_cache_gb = 20.0
 
     # ------------------------------------------------------------------
     # Machinery (singleton, imports, provenance)

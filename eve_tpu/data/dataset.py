@@ -97,6 +97,15 @@ class EVESequencesBase:
         # small (a few MB per video) so a 64-entry LRU is bounded.
         self._label_cache = collections.OrderedDict()
         self._label_cache_lock = threading.Lock()
+        # Decode-once disk cache for windowed decode (framecache.py);
+        # content-keyed, so it composes with exact resume and is shared
+        # safely across runs. None when disabled.
+        self._frame_cache = None
+        frame_cache_dir = getattr(config, 'frame_cache_dir', '')
+        if frame_cache_dir:
+            from eve_tpu.data.framecache import FrameDiskCache
+            self._frame_cache = FrameDiskCache(
+                frame_cache_dir, getattr(config, 'frame_cache_gb', 20.0))
 
         segmentations = load_or_build_cache(
             dataset_path, config.assumed_frame_rate, config.max_sequence_len,
@@ -210,9 +219,20 @@ class EVESequencesBase:
             timestamps = timestamps[in_range]
             frames = frames[in_range]
         else:
-            timestamps, frames = VideoReader(
-                video_path, frame_indices=selected_indices,
-                output_size=output_size).get_frames()
+            cache_key = None
+            cached = None
+            if self._frame_cache is not None:
+                cache_key = self._frame_cache.key(
+                    video_path, selected_indices, output_size)
+                cached = self._frame_cache.get(cache_key)
+            if cached is not None:
+                timestamps, frames = cached
+            else:
+                timestamps, frames = VideoReader(
+                    video_path, frame_indices=selected_indices,
+                    output_size=output_size).get_frames()
+                if self._frame_cache is not None:
+                    self._frame_cache.put(cache_key, timestamps, frames)
 
         subentry['timestamps'] = np.asarray(timestamps, np.int64)
         use_native = getattr(cfg, 'use_native_framepack', True)
