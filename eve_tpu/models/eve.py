@@ -82,6 +82,14 @@ class EveSpec:
     # residual stage's spatial work; see BASELINE.md for the measured
     # speed/accuracy trade). Ignored unless tpu_native_arch.
     tpu_native_stem: str = 'patchify'
+    # Refined-PoG readout for the TPU-native topology: 'heatmap'
+    # (reference semantics: soft-argmax of the refined heatmap) or
+    # 'gated' (residual: final = initial + gate * (heatmap_argmax -
+    # initial) + delta, gate/delta predicted per frame from decoder
+    # features, initialized so final == initial). Fixes the measured
+    # ~55-80 px heatmap-readout floor (BASELINE.md); ignored unless
+    # tpu_native_arch.
+    tpu_native_refine_head: str = 'heatmap'
     # Rematerialize CNN activations in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for not storing activations —
     # enables much larger B*T per chip. Granularity: 'none', 'eye' (ResNet
@@ -140,6 +148,8 @@ class EveSpec:
             use_pallas=config.tpu_use_pallas,
             tpu_native_arch=getattr(config, 'tpu_native_arch', False),
             tpu_native_stem=getattr(config, 'tpu_native_stem', 'patchify'),
+            tpu_native_refine_head=getattr(config, 'tpu_native_refine_head',
+                                           'heatmap'),
             remat=getattr(config, 'tpu_remat', 'none'),
         )
 
@@ -162,10 +172,21 @@ class EveSpec:
     def build_refine_net(self):
         if not self.refine_net_enabled:
             return None
+        if self.tpu_native_refine_head not in ('heatmap', 'gated'):
+            raise ValueError(
+                "Unknown tpu_native_refine_head %r (expected 'heatmap' or "
+                "'gated')" % (self.tpu_native_refine_head,))
+        kw = {}
         cls = RefineNet
         if self.tpu_native_arch:
             from eve_tpu.models.refine_net_tpu import RefineNetTPU
             cls = RefineNetTPU
+            kw['readout'] = self.tpu_native_refine_head
+        elif self.tpu_native_refine_head != 'heatmap':
+            raise ValueError(
+                "tpu_native_refine_head='gated' requires tpu_native_arch "
+                "(the reference topology keeps reference readout "
+                "semantics for weight-level parity)")
         return cls(
             load_screen_content=self.load_screen_content,
             use_skip_connections=self.refine_net_use_skip_connections,
@@ -175,6 +196,7 @@ class EveSpec:
             num_features=self.refine_net_num_features,
             clstm_carry_only=self.clstm_carry_only,
             compute_dtype=self.dtype,
+            **kw,
         )
 
 
@@ -552,8 +574,16 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
             bottleneck_out = bottleneck_in
             final_states['refine'] = ()
 
-        heatmap_final = refine_net.apply(
-            rn_params, bottleneck_out, skips, method='decode')
+        gated = (spec.tpu_native_arch and
+                 spec.tpu_native_refine_head == 'gated')
+        if gated:
+            heatmap_final, gate, delta = refine_net.apply(
+                rn_params, bottleneck_out, skips, method='decode_readout')
+            gate = gate.reshape(B, T, 2)
+            delta = delta.reshape(B, T, 2)
+        else:
+            heatmap_final = refine_net.apply(
+                rn_params, bottleneck_out, skips, method='decode')
         w, h = spec.gaze_heatmap_size
         interm['heatmap_final'] = heatmap_final.reshape(B, T, h, w)
 
@@ -562,6 +592,23 @@ def forward(spec: EveSpec, params, batch, rng=None, training=False,
             heatmap_size=spec.gaze_heatmap_size,
             actual_screen_size=spec.actual_screen_size,
             use_pallas=spec.use_pallas)
+        if gated:
+            # Residual readout: the heatmap's soft-argmax proposes a
+            # correction DIRECTION from the initial estimate; the learned
+            # gate (init ~0: final == initial) decides how far to move and
+            # delta adds a sub-bin px correction — the final estimate is
+            # no longer quantized by the 128x72 heatmap grid, removing the
+            # measured ~55-80 px readout floor (BASELINE.md staged study).
+            # During training PoG_px_initial is the offset-AUGMENTED
+            # estimate — exactly what the network saw as its input
+            # heatmap, so the gate learns to judge the estimate it was
+            # actually given.
+            interm['PoG_px_heatmap_final'] = interm['PoG_px_final']
+            interm['PoG_px_final'] = (
+                interm['PoG_px_initial'] +
+                gate * (interm['PoG_px_final'] - interm['PoG_px_initial']) +
+                delta)
+            interm['refine_gate'] = gate
         cm_per_px = 0.1 * full['millimeters_per_pixel']
         interm['PoG_cm_final'] = interm['PoG_px_final'] * cm_per_px
         interm['g_final'] = geo.calculate_combined_gaze_direction(
@@ -768,3 +815,15 @@ def calculate_losses_and_metrics(spec, full, interm, output, training):
         if have(interm, pred_key) and have(full, 'g'):
             output['metric_ang_' + pred_key] = losses_lib.angular_loss(
                 interm[pred_key], full['g'], full['g_validity'])
+
+    # Gated-readout diagnostics: the raw heatmap soft-argmax error (what
+    # the final WOULD read under reference semantics) and the mean gate —
+    # metrics only, never part of full_loss.
+    if have(interm, 'PoG_px_heatmap_final') and have(full, 'PoG_px_tobii'):
+        output['metric_euc_PoG_px_heatmap_final'] = \
+            losses_lib.euclidean_loss(interm['PoG_px_heatmap_final'],
+                                      full['PoG_px_tobii'],
+                                      full['PoG_px_tobii_validity'])
+    if have(interm, 'refine_gate'):
+        output['metric_mean_refine_gate'] = jnp.mean(
+            interm['refine_gate'].astype(jnp.float32))

@@ -55,6 +55,14 @@ LEVEL_SHAPES = ((18, 32), (9, 16), (5, 8))
 LEVEL_CHANNELS = (128, 256)  # innermost level maps to num_features
 
 
+# Gate-logit offset for the 'gated' readout: sigmoid(-4) ~= 0.018, so a
+# freshly initialized (zero kernel/bias) gate head starts at final ~=
+# initial — refinement must EARN its correction instead of starting from
+# the heatmap readout whose ~55-80 px floor the round-4 staged study
+# measured (BASELINE.md).
+GATE_LOGIT_BIAS = -4.0
+
+
 class RefineNetTPU(nn.Module):
     load_screen_content: bool = True
     use_skip_connections: bool = True
@@ -64,6 +72,15 @@ class RefineNetTPU(nn.Module):
     num_features: int = 64
     clstm_carry_only: bool = True
     compute_dtype: Any = jnp.float32
+    # 'heatmap': reference readout semantics (soft-argmax of the refined
+    # heatmap IS the final PoG). 'gated': residual readout — the model
+    # additionally predicts a per-frame 2-vector gate and a px-unit
+    # correction from pooled decoder features, and the composite computes
+    #   PoG_final = PoG_initial + gate * (soft_argmax(hm) - PoG_initial)
+    #               + delta
+    # (eve.py). The heatmap, its CE loss, and the state contract are
+    # unchanged; only the PoG readout differs.
+    readout: str = 'heatmap'
 
     def setup(self):
         nf = self.num_features
@@ -89,6 +106,18 @@ class RefineNetTPU(nn.Module):
         self.final_0 = Conv(c0 // 2, 3, 1, 1, name='final_0')
         self.final_2 = Conv(PATCH_SIZE * PATCH_SIZE, 1, 1, 0,
                             zero_init=True, name='final_2')
+        if self.readout == 'gated':
+            # Residual-readout head off the pooled decoder features:
+            # (gate_logit_y, gate_logit_x, delta_y_px, delta_x_px). The
+            # final layer is exactly zero-initialized so the readout
+            # starts at gate = sigmoid(GATE_LOGIT_BIAS) ~ 0, delta = 0.
+            self.gate_fc1 = nn.Dense(32, name='gate_fc1')
+            self.gate_fc2 = nn.Dense(
+                4, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name='gate_fc2')
+        elif self.readout != 'heatmap':
+            raise ValueError("Unknown readout %r (expected 'heatmap' or "
+                             "'gated')" % (self.readout,))
 
     # -- contract methods (same signatures as RefineNet) -----------------
 
@@ -144,11 +173,8 @@ class RefineNetTPU(nn.Module):
                 x = out
         return x, tuple(new_states)
 
-    def decode(self, x, skips):
-        """Decoder pyramid + sub-pixel head; batched over leading dims.
-
-        Returns (..., 72, 128) heatmap in (0, 1).
-        """
+    def _decode_features(self, x, skips):
+        """Decoder pyramid up to the shared pre-head features (18, 32, 64)."""
         for k in range(2, -1, -1):
             if self.use_skip_connections:
                 x = jnp.concatenate([x, skips[k]], axis=-1)
@@ -156,11 +182,38 @@ class RefineNetTPU(nn.Module):
             if k > 0:
                 x = resize_bilinear(x, LEVEL_SHAPES[k - 1])
         x = self.final_0(x)
-        x = leaky_relu(x)
-        x = self.final_2(x)
+        return leaky_relu(x)
+
+    def _heatmap_from_features(self, feats):
+        x = self.final_2(feats)
         x = depth_to_space(x, PATCH_SIZE)
         x = x.astype(jnp.float32)
         return jax.nn.sigmoid(x)[..., 0]
+
+    def decode(self, x, skips):
+        """Decoder pyramid + sub-pixel head; batched over leading dims.
+
+        Returns (..., 72, 128) heatmap in (0, 1).
+        """
+        return self._heatmap_from_features(self._decode_features(x, skips))
+
+    def decode_readout(self, x, skips):
+        """Decode + residual-readout head (``readout='gated'`` only).
+
+        Returns (heatmap (..., 72, 128), gate (..., 2) in (0, 1),
+        delta_px (..., 2)) — gate/delta components align with PoG_px's
+        (x, y) actual-screen-pixel convention (eve.py applies them
+        directly; the head learns in that frame).
+        """
+        assert self.readout == 'gated', self.readout
+        feats = self._decode_features(x, skips)
+        hm = self._heatmap_from_features(feats)
+        pooled = feats.mean(axis=(-3, -2)).astype(jnp.float32)
+        h = nn.relu(self.gate_fc1(pooled))
+        out4 = self.gate_fc2(h)
+        gate = jax.nn.sigmoid(out4[..., :2] + GATE_LOGIT_BIAS)
+        delta = out4[..., 2:]
+        return hm, gate, delta
 
     def init_state(self, batch_size, dtype=None):
         """Zero conv-RNN states at the 5x8 bottleneck grid.
@@ -185,6 +238,13 @@ class RefineNetTPU(nn.Module):
         if states is None:
             states = self.init_state(x.shape[0])
         x, states = self.bottleneck_step(x, states)
+        if self.readout == 'gated':
+            # Routed through the readout head so module init creates its
+            # parameters (flax setup-defined submodules materialize only
+            # when called).
+            hm, gate, delta = self.decode_readout(x, skips)
+            return {'heatmap_final': hm, 'gate': gate, 'delta_px': delta,
+                    'states': states}
         hm = self.decode(x, skips)
         return {'heatmap_final': hm, 'states': states}
 

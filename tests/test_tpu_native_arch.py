@@ -179,6 +179,92 @@ def test_streaming_chunks_match_full_clip(rng):
                                rtol=1e-4, atol=0.5)
 
 
+def test_gated_readout_init_identity(rng):
+    """tpu_native_refine_head='gated': at init the residual readout is
+    algebraically final = initial + sigmoid(-4) * (heatmap_argmax -
+    initial) — i.e. ~98% of the way to 'refinement cannot hurt a good
+    initial estimate', the property the heatmap readout provably lacks
+    (the ~55-80 px floor, BASELINE.md staged study)."""
+    spec = _spec(tpu_native_refine_head='gated')
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    assert 'gate_fc1' in params['refine_net']
+    assert 'gate_fc2' in params['refine_net']
+    batch = _batch(rng)
+    out = eve_lib.forward(spec, params, batch, training=False,
+                          output_predictions=True)
+
+    # Reference-semantics readout of the SAME heatmap: drop the gate head
+    # params and run the 'heatmap' readout spec.
+    params_hm = dict(params)
+    params_hm['refine_net'] = {k: v for k, v in params['refine_net'].items()
+                               if not k.startswith('gate_')}
+    out_hm = eve_lib.forward(_spec(), params_hm, batch, training=False,
+                             output_predictions=True)
+    sig = 1.0 / (1.0 + np.exp(4.0))
+    pi = np.asarray(out['PoG_px_initial'])
+    want = pi + sig * (np.asarray(out_hm['PoG_px_final']) - pi)
+    np.testing.assert_allclose(np.asarray(out['PoG_px_final']), want,
+                               rtol=1e-4, atol=0.05)
+    # Gate diagnostic metrics exist and read the init value.
+    assert abs(float(out['metric_mean_refine_gate']) - sig) < 1e-4
+    assert 'metric_euc_PoG_px_heatmap_final' in out
+
+
+def test_gated_readout_grad_flow(rng):
+    """The PoG-final loss trains the gate head (fc2; fc1 is behind the
+    zero-init fc2 kernel at exactly step 0, like every zero-init head in
+    the model family)."""
+    spec = _spec(tpu_native_refine_head='gated',
+                 loss_coeff_PoG_cm_final=0.1)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(rng)
+
+    def loss_fn(p):
+        out = eve_lib.forward(spec, p, batch, rng=jax.random.PRNGKey(1),
+                              training=True)
+        return out['full_loss']
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    fc2 = g['refine_net']['gate_fc2']
+    assert float(jnp.abs(fc2['kernel']).max()) > 0
+    assert float(jnp.abs(fc2['bias']).max()) > 0
+
+
+@pytest.mark.slow
+def test_gated_streaming_chunks_match_full_clip(rng):
+    """The streaming contract holds under the gated readout (gate/delta
+    are per-frame, stateless)."""
+    spec = _spec(tpu_native_refine_head='gated')
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    batch = _batch(rng, B=1, T=4)
+    full = eve_lib.forward(spec, params, batch, training=False,
+                           output_predictions=True)
+    state = eve_lib.init_stream_state(spec, 1)
+    outs = []
+    for t0 in (0, 2):
+        chunk = {k: v[:, t0:t0 + 2] if v.ndim >= 2 and v.shape[1] == 4 else v
+                 for k, v in batch.items()}
+        out = eve_lib.forward(spec, params, chunk, training=False,
+                              output_predictions=True,
+                              initial_states=state, return_states=True)
+        state = out['states']
+        outs.append(np.asarray(out['PoG_px_final']))
+    chunked = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(chunked, np.asarray(full['PoG_px_final']),
+                               rtol=1e-4, atol=0.5)
+
+
+def test_gated_readout_requires_tpu_native():
+    with pytest.raises(ValueError, match='requires tpu_native_arch'):
+        eve_lib.EveSpec(refine_net_enabled=True,
+                        tpu_native_refine_head='gated').build_refine_net()
+    with pytest.raises(ValueError, match='Unknown tpu_native_refine_head'):
+        eve_lib.EveSpec(refine_net_enabled=True, tpu_native_arch=True,
+                        tpu_native_refine_head='resnet').build_refine_net()
+
+
 def test_converters_refuse_tpu_native():
     from eve_tpu.utils import torch_convert as tc
     spec = _spec()
