@@ -131,6 +131,34 @@ def _null_engine_batch_ms(spec, params, host_clips, args):
         engine.stop()
 
 
+def measure_host_batcher_ms(sessions=4, chunks=8, seq=30, max_batch=4,
+                            eyes=128, dtype='bfloat16'):
+    """Standalone form of the ``host_batcher_ms`` loopback quantity (the
+    engine's intrinsic scheduling cost per dispatched micro-batch at zero
+    link latency — the only serving term that transfers to a TPU VM).
+    Used by the perf gate (bench.py --check)."""
+    from types import SimpleNamespace
+
+    import jax
+    from eve_tpu.data.synthetic import make_synthetic_batch
+    from eve_tpu.models import eve as eve_lib
+
+    args = SimpleNamespace(sessions=sessions, chunks=chunks, seq=seq,
+                           max_batch=max_batch, eyes=eyes, distinct=4)
+    spec = eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True,
+                           compute_dtype=dtype)
+    params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    clips = {}
+    for s in range(args.sessions):
+        batch = make_synthetic_batch(
+            rng, batch_size=args.distinct, sequence_len=args.seq,
+            eyes_size=args.eyes, with_screen=True, frame_dtype=np.uint8)
+        clips[s] = [{k: v[i] for k, v in batch.items()}
+                    for i in range(args.distinct)]
+    return _null_engine_batch_ms(spec, params, clips, args)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--sessions', type=int, default=4)
@@ -147,6 +175,13 @@ def main():
     p.add_argument('--tpu-native-arch', action='store_true',
                    help='serve the opt-in TPU-native topology instead of '
                         'the reference-parity one')
+    p.add_argument('--num-devices', type=int, default=0,
+                   help='serve data-parallel over an N-device mesh '
+                        '(serve_num_devices); composes with --loopback '
+                        '(device-resident session state replicated across '
+                        'the mesh). On this 1-chip host run with '
+                        'JAX_PLATFORMS=cpu + an 8-virtual-device mesh to '
+                        'validate the combined mode.')
     p.add_argument('--loopback', action='store_true',
                    help='engine compute-bound measurement: device_resident '
                         'engine + pre-staged device-resident inputs, no '
@@ -167,9 +202,13 @@ def main():
                            compute_dtype=args.dtype,
                            tpu_native_arch=args.tpu_native_arch)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
+    mesh = None
+    if args.num_devices > 1:
+        from eve_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.num_devices)
     engine = ServingEngine(spec, params, max_batch=args.max_batch,
                            max_delay_ms=5.0, request_timeout_s=600.0,
-                           device_resident=args.loopback)
+                           device_resident=args.loopback, mesh=mesh)
 
     # Distinct payloads per (session, slot): nothing repeats within one
     # cycle of any session, so the relay cannot serve a transfer from
@@ -243,6 +282,7 @@ def main():
         'batches': engine.stats['batches'],
         'requests': engine.stats['requests'],
         'tpu_native_arch': args.tpu_native_arch,
+        'num_devices': args.num_devices,
     }
     if raw_step_ms is not None:
         # Batcher overhead per dispatched micro-batch, judged against the

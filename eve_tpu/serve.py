@@ -155,7 +155,7 @@ class ServingEngine:
         ~2x the session-state bytes per chunk from PCIe; with
         device-resident inputs (``bench_serve.py --loopback``) it
         isolates the engine's own scheduling/batching overhead from
-        transfer cost entirely. Spec+params path only (no artifact/mesh).
+        transfer cost entirely. Spec+params path only (no artifact).
 
         ``mesh``: a 1-D ``jax.sharding.Mesh`` (axis ``data``) to serve
         data-parallel across chips: each dispatched micro-batch shards its
@@ -163,7 +163,16 @@ class ServingEngine:
         N chips serve N× the batch at one chip's latency — the serving
         analog of the training harness's data axis (parallel/mesh.py).
         Requires ``max_batch`` divisible by the axis size and the
-        spec+params path (AOT artifacts are compiled for one device)."""
+        spec+params path (AOT artifacts are compiled for one device).
+
+        ``mesh`` + ``device_resident`` compose: batch assembly moves
+        inside the jit with the stacked slots sharding-constrained over
+        the data axis, and each session's between-chunk state lives in
+        device memory REPLICATED across the mesh (a (1, ...) state cannot
+        shard over a >1 axis; replicating it makes every slot assignment
+        reach its state locally, keeps one stable input sharding per
+        signature — no per-slot-assignment recompiles — and costs only a
+        per-dispatch all-gather of the ~100 KB state tree over ICI)."""
         if artifact is None:
             if spec is None or params is None:
                 raise ValueError(
@@ -172,6 +181,10 @@ class ServingEngine:
                                       type(params).__name__))
         elif spec is not None or params is not None:
             raise ValueError('pass either spec+params or artifact, not both')
+        if device_resident and artifact is not None:
+            raise ValueError(
+                'device_resident serving needs the spec+params path '
+                '(AOT artifacts fix their own input layout)')
         self.spec = spec
         self._artifact = None
         if artifact is not None:
@@ -205,14 +218,9 @@ class ServingEngine:
             self.session_ttl_s = max(self.session_ttl_s,
                                      2.0 * self.request_timeout_s)
         self.device_resident = bool(device_resident)
-        if self.device_resident and (artifact is not None or
-                                     mesh is not None):
-            raise ValueError(
-                'device_resident serving needs the spec+params path on a '
-                'single device (AOT artifacts fix their own input layout; '
-                'mesh serving shards host-assembled batches)')
         self._mesh = mesh
         self._batch_sharding = None
+        self._replicated_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             if self._artifact is not None:
@@ -228,8 +236,8 @@ class ServingEngine:
                     'takes an equal slot count)'
                     % (self.max_batch, extent, axis))
             self._batch_sharding = NamedSharding(mesh, PartitionSpec(axis))
-            self._params = jax.device_put(
-                params, NamedSharding(mesh, PartitionSpec()))
+            self._replicated_sharding = NamedSharding(mesh, PartitionSpec())
+            self._params = jax.device_put(params, self._replicated_sharding)
         else:
             self._params = (None if self._artifact
                             else jax.device_put(params))
@@ -258,6 +266,13 @@ class ServingEngine:
         else:
             self._zero_state = jax.tree.map(
                 np.asarray, eve_lib.init_stream_state(spec, 1))
+            if self.device_resident and self._replicated_sharding is not None:
+                # Pre-commit the zero state replicated on the mesh so every
+                # dispatch sees ONE input sharding per signature (a numpy
+                # zero state in some slots and replicated session states in
+                # others would otherwise key separate compilations).
+                self._zero_state = jax.device_put(
+                    self._zero_state, self._replicated_sharding)
         # Compiled-step caches, one per assembly variant (host-stacked vs
         # device-resident slots) so max_signatures bounds DISTINCT SHAPES
         # per variant — an engine that compiles both variants for the same
@@ -668,7 +683,15 @@ class ServingEngine:
         Takes a max_batch-tuple of per-slot input dicts plus a tuple of
         per-slot (leading-dim-1) states; stacks/concatenates them in the
         traced graph so one dispatch covers stack + model. Device-resident
-        inputs/states then never touch the host.
+        inputs/states then never touch the host. Returns states as a
+        max_batch-TUPLE of per-slot trees (sliced in-graph), so each
+        session keeps an independent device buffer.
+
+        With a mesh, the stacked batch and states are sharding-constrained
+        over the data axis (GSPMD shards the model step) and each per-slot
+        output state is constrained REPLICATED — every future slot
+        assignment then reads it locally, and all session states share one
+        sharding so a signature compiles exactly once.
         """
         fn = self._jit_cache_slots.get(signature)
         if fn is None:
@@ -679,14 +702,25 @@ class ServingEngine:
                     % self.max_signatures)
             spec = self.spec
             served = self.served_outputs
+            max_batch = self.max_batch
+            batch_sh = self._batch_sharding
+            rep_sh = self._replicated_sharding
+
+            def _constrain(tree, sh):
+                if sh is None:
+                    return tree
+                return jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, sh), tree)
 
             @jax.jit
             def step(params, slots, states_slots):
                 import jax.numpy as jnp
                 batch = {k: jnp.stack([s[k] for s in slots])
                          for k in slots[0]}
+                batch = _constrain(batch, batch_sh)
                 states = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs, axis=0), *states_slots)
+                states = _constrain(states, batch_sh)
                 out = eve_lib.forward(
                     spec, params, batch, training=False,
                     output_predictions=True,
@@ -694,7 +728,11 @@ class ServingEngine:
                 states_out = out.pop('states')
                 if served is not None:
                     out = {k: out[k] for k in served if k in out}
-                out['states'] = states_out
+                out['states'] = tuple(
+                    _constrain(
+                        jax.tree.map(lambda x, i=i: x[i:i + 1], states_out),
+                        rep_sh)
+                    for i in range(max_batch))
                 return out
 
             fn = self._jit_cache_slots[signature] = step
@@ -738,12 +776,13 @@ class ServingEngine:
             slots = tuple(r.inputs for r in reqs) + (reqs[-1].inputs,) * pad
             step = self._get_jit_slots(reqs[0].signature)
             outputs = step(self._params, slots, tuple(slot_states))
+            # A max_batch-tuple of per-slot state trees, sliced in-graph
+            # (fresh device buffers — per-session state does not pin the
+            # batch; replicated across the mesh when one is configured).
             new_states = outputs.pop('states')
 
-            def slot_state(x, idx):
-                # jax slicing allocates a fresh device buffer (jax has no
-                # views), so per-session state does not pin the batch.
-                return x[idx:idx + 1]
+            def get_slot_state(idx):
+                return new_states[idx]
         else:
             batch = {}
             for k in reqs[0].inputs:
@@ -768,10 +807,11 @@ class ServingEngine:
             new_states = outputs.pop('states')
             new_states = jax.tree.map(np.asarray, new_states)
 
-            def slot_state(x, idx):
+            def get_slot_state(idx):
                 # Copy (not slice-view) so the per-session state doesn't
                 # pin the whole batch-sized array in memory.
-                return np.copy(x[idx:idx + 1])
+                return jax.tree.map(lambda x: np.copy(x[idx:idx + 1]),
+                                    new_states)
         host = {k: np.asarray(v) for k, v in outputs.items()
                 if hasattr(v, 'shape')}
 
@@ -780,8 +820,7 @@ class ServingEngine:
                 # Session may have been closed mid-flight; drop state then.
                 if s is not None and \
                         self._sessions.get(s.session_id) is s:
-                    s.state = jax.tree.map(
-                        lambda x, idx=i: slot_state(x, idx), new_states)
+                    s.state = get_slot_state(i)
                     s.chunks_processed += 1
                     # Completion also refreshes the idle clock: a chunk
                     # that spent long in compile/queue must not leave its

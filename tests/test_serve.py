@@ -874,10 +874,57 @@ def test_device_resident_engine_matches_default(spec, params):
         engine.stop()
 
 
-def test_device_resident_rejects_artifact_and_mesh(spec, params):
+@pytest.mark.slow
+def test_device_resident_mesh_matches_default(spec, params):
+    """device_resident + mesh compose (round-4 verdict item: previously
+    mutually exclusive with no measured reason): batch slots shard over
+    the data axis, session state stays in device memory replicated across
+    the mesh, and results equal the plain single-device engine's —
+    sessionless and streamed."""
     from eve_tpu.parallel.mesh import make_mesh
+    engine = ServingEngine(spec, params, max_batch=4, max_delay_ms=200.0,
+                           mesh=make_mesh(4), device_resident=True)
+    try:
+        clips = _clips(41, 3)
+        futures = [engine.submit(c) for c in clips]
+        results = [f.result(timeout=300) for f in futures]
+        for clip, res in zip(clips, results):
+            ref = _direct(spec, params, clip)
+            for key in ('PoG_px_initial', 'PoG_px_final',
+                        'left_pupil_size'):
+                np.testing.assert_allclose(
+                    res[key], np.asarray(ref[key])[0],
+                    rtol=1e-4, atol=1e-3, err_msg=key)
+
+        # Streaming session: state stays a device array, replicated over
+        # the mesh, and chunked results match one full-clip pass.
+        T = 4
+        [clip] = _clips(42, 1, T=T)
+        sid = engine.open_session()
+        outs = []
+        for t0 in (0, T // 2):
+            chunk = {k: (v[t0:t0 + T // 2] if v.ndim >= 1 and
+                         v.shape[0] == T else v)
+                     for k, v in clip.items()}
+            outs.append(engine.infer(chunk, session_id=sid, timeout=300))
+        with engine._sessions_lock:
+            state_leaf = jax.tree_util.tree_leaves(
+                engine._sessions[sid].state)[0]
+        assert isinstance(state_leaf, jax.Array)
+        assert len(state_leaf.sharding.device_set) == 4  # replicated
+        engine.close_session(sid)
+        full = _direct(spec, params, clip)
+        for key in ('PoG_px_initial', 'PoG_px_final'):
+            streamed = np.concatenate([o[key] for o in outs], axis=0)
+            np.testing.assert_allclose(streamed, np.asarray(full[key])[0],
+                                       rtol=1e-4, atol=1e-3, err_msg=key)
+    finally:
+        engine.stop()
+
+
+def test_device_resident_rejects_artifact(spec, params):
     with pytest.raises(ValueError, match='device_resident'):
-        ServingEngine(spec, params, max_batch=4, mesh=make_mesh(2),
+        ServingEngine(artifact=b'not-a-real-artifact', max_batch=4,
                       device_resident=True)
 
 
