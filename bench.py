@@ -40,6 +40,18 @@ import numpy as np
 
 BANDS_FILE = 'bench_bands.json'
 REL_TOL = 0.06
+# Per-metric tolerance overrides (see the bands-file note):
+#  - train_step_ms* showed an 8.5% compile-to-compile spread in round 4
+#    (26.91-29.21 ms across same-day processes) — wider than the relay's
+#    ~1.2% dispatch variance the default band absorbs;
+#  - serve_host_batcher_ms is pure host threading/scheduling timing on a
+#    shared 1-core box — gate only gross regressions.
+PER_METRIC_TOL = {
+    'train_step_ms': 0.10,
+    'train_step_ms_tpu_native': 0.10,
+    'train_step_ms_patchify8': 0.10,
+    'serve_host_batcher_ms': 0.30,
+}
 
 
 def measure_inference(batch_size=16, seq=30, iters=20, dtype='bfloat16',
@@ -89,7 +101,7 @@ def measure_inference(batch_size=16, seq=30, iters=20, dtype='bfloat16',
 
 
 def measure_train_step_ms(batch_size=8, seq=30, iters=10, dtype='bfloat16',
-                          tpu_native=False):
+                          tpu_native=False, stem='patchify'):
     """Measure the fused train step (fwd+bwd+clip+Adam) in ms — the
     refine_net.json workload (BASELINE.md "training-step roofline")."""
     import jax
@@ -106,7 +118,8 @@ def measure_train_step_ms(batch_size=8, seq=30, iters=10, dtype='bfloat16',
                         'load_screen_content': True,
                         'batch_size': batch_size,
                         'tpu_compute_dtype': dtype,
-                        'tpu_native_arch': tpu_native})
+                        'tpu_native_arch': tpu_native,
+                        'tpu_native_stem': stem})
     spec = eve_lib.EveSpec.from_config(config)
     tx, _ = optim_lib.build_optimizer(config, steps_per_epoch=1000)
     state = step_lib.create_train_state(spec, tx, jax.random.PRNGKey(0))
@@ -120,18 +133,44 @@ def measure_train_step_ms(batch_size=8, seq=30, iters=10, dtype='bfloat16',
                                  frame_dtype=np.uint8)
         batches.append({k: jax.device_put(jnp.asarray(v))
                         for k, v in b.items()})
-    keys = [jax.random.PRNGKey(i) for i in range(iters + 2)]
+    keys = [jax.random.PRNGKey(i) for i in range(3 * iters + 2)]
     for i in range(2):  # warmup/compile
         state, m = train_step(state, batches[i % 2], keys[i])
     jax.block_until_ready(m['full_loss'])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = train_step(state, batches[i % 2], keys[i + 2])
-    jax.block_until_ready(m['full_loss'])
-    return (time.perf_counter() - t0) / iters * 1e3
+    # Median of 3 timed repeats (ADVICE r4): the dispatched train metric
+    # carries more run-to-run spread than the inference metrics.
+    samples = []
+    ki = 2
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = train_step(state, batches[i % 2], keys[ki])
+            ki += 1
+        jax.block_until_ready(m['full_loss'])
+        samples.append((time.perf_counter() - t0) / iters * 1e3)
+    return float(np.median(samples))
 
 
-# Checked metrics: name -> (measure_fn, unit, higher_is_better)
+def _device_ms(**kw):
+    from bench_chain import measure_device_ms
+    return measure_device_ms(**kw)
+
+
+def _host_batcher_ms():
+    from bench_serve import measure_host_batcher_ms
+    return measure_host_batcher_ms()
+
+
+# Checked metrics: name -> (measure_fn, unit, higher_is_better).
+#
+# Two timing regimes (VERDICT r4 item 5): the *_frames_per_sec /
+# *_train_step_ms metrics are DISPATCHED host-loop timings (kept — same
+# methodology across all rounds, conservative headline); the *_device_ms
+# metrics are chained in-jit device timings (bench_chain.py), which on the
+# axon link are ~5x more stable (~1.2% spread) and are what a TPU VM
+# sustains. Every number BASELINE.md/README headline-quotes has a band
+# here: flagship + tpu-native + patchify8, inference + train + B=1
+# latency, plus the serving engine's host-batcher floor.
 CHECKS = {
     'inference_frames_per_sec': (
         lambda: measure_inference(), 'frames/s', True),
@@ -141,6 +180,22 @@ CHECKS = {
         lambda: measure_train_step_ms(), 'ms', False),
     'train_step_ms_tpu_native': (
         lambda: measure_train_step_ms(tpu_native=True), 'ms', False),
+    'train_step_ms_patchify8': (
+        lambda: measure_train_step_ms(tpu_native=True, stem='patchify8'),
+        'ms', False),
+    'inference_device_ms': (
+        lambda: _device_ms(), 'ms', False),
+    'inference_device_ms_tpu_native': (
+        lambda: _device_ms(tpu_native=True), 'ms', False),
+    'inference_device_ms_patchify8': (
+        lambda: _device_ms(tpu_native=True, stem='patchify8'), 'ms', False),
+    'latency_b1_device_ms': (
+        lambda: _device_ms(batch_size=1, k1=4, k2=44), 'ms', False),
+    'latency_b1_device_ms_tpu_native': (
+        lambda: _device_ms(batch_size=1, k1=4, k2=44, tpu_native=True),
+        'ms', False),
+    'serve_host_batcher_ms': (
+        lambda: _host_batcher_ms(), 'ms', False),
 }
 
 
@@ -156,11 +211,16 @@ def run_check(record=False):
 
     if record:
         with open(bands_path, 'w') as f:
-            json.dump({'rel_tol': REL_TOL, 'recorded': results,
+            json.dump({'rel_tol': REL_TOL, 'per_metric_tol': PER_METRIC_TOL,
+                       'recorded': results,
                        'note': 'bench.py --check bands; +-rel_tol absorbs '
                                'axon relay variance (~1.2 percent observed, '
-                               'BASELINE.md). Update with bench.py --record '
-                               'after intentional perf changes.'},
+                               'BASELINE.md); per_metric_tol widens the '
+                               'dispatched train metrics (8.5 percent '
+                               'compile-to-compile spread, r4) and the '
+                               'host-threading serve metric. Update with '
+                               'bench.py --record after intentional perf '
+                               'changes.'},
                       f, indent=1)
         print('recorded bands -> %s' % bands_path, file=sys.stderr)
         print(json.dumps({'metric': 'bench_check', 'value': 1,
@@ -169,13 +229,24 @@ def run_check(record=False):
 
     with open(bands_path) as f:
         bands = json.load(f)
-    tol = bands.get('rel_tol', REL_TOL)
+    default_tol = bands.get('rel_tol', REL_TOL)
+    per_metric = bands.get('per_metric_tol', {})
+    # Metrics added to CHECKS but not yet recorded on real hardware may be
+    # listed as pending_record (with a dated note) instead of recorded —
+    # they are measured and reported but do not gate until first recorded.
+    # An unlisted missing band is still a hard failure.
+    pending = set(bands.get('pending_record', []))
     failures = []
     for name, v in results.items():
         rec = bands['recorded'].get(name)
         if rec is None:
+            if name in pending:
+                print('%-42s %10.2f (pending first --record)' % (name, v),
+                      file=sys.stderr)
+                continue
             failures.append('%s: no recorded band' % name)
             continue
+        tol = per_metric.get(name, default_tol)
         lo, hi = rec * (1 - tol), rec * (1 + tol)
         _, unit, higher_better = CHECKS[name]
         # Only breaches in the BAD direction fail (faster is never a

@@ -56,32 +56,28 @@ def chained_ms(step_fn, k1, k2):
     return (ts[k2] - ts[k1]) / (k2 - k1) * 1e3
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument('--batch', type=int, default=16)
-    p.add_argument('--seq', type=int, default=30)
-    p.add_argument('--k1', type=int, default=2)
-    p.add_argument('--k2', type=int, default=12)
-    p.add_argument('--dtype', default='bfloat16',
-                   choices=['float32', 'bfloat16'])
-    p.add_argument('--tpu-native-arch', action='store_true')
-    p.add_argument('--tpu-native-stem', default='patchify',
-                   choices=['patchify', 'patchify8'])
-    args = p.parse_args()
+def measure_device_ms(batch_size=16, seq=30, dtype='bfloat16',
+                      tpu_native=False, stem='patchify', k1=2, k2=12):
+    """Chained device ms/batch of the flagship inference step.
 
+    The reusable form of this bench (also driving the perf gate's
+    device-time metrics, bench.py --check): builds the spec/batch, chains
+    K steps in one jit with every compute band's inputs perturbed by the
+    carry, returns device ms per step.
+    """
     import jax
     import jax.numpy as jnp
     from eve_tpu.data.synthetic import make_synthetic_batch
     from eve_tpu.models import eve as eve_lib
 
     spec = eve_lib.EveSpec(refine_net_enabled=True, load_screen_content=True,
-                           compute_dtype=args.dtype,
-                           tpu_native_arch=args.tpu_native_arch,
-                           tpu_native_stem=args.tpu_native_stem)
+                           compute_dtype=dtype,
+                           tpu_native_arch=tpu_native,
+                           tpu_native_stem=stem)
     params = eve_lib.init_params(spec, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
-    b = make_synthetic_batch(rng, batch_size=args.batch,
-                             sequence_len=args.seq, eyes_size=128,
+    b = make_synthetic_batch(rng, batch_size=batch_size,
+                             sequence_len=seq, eyes_size=128,
                              frame_dtype=np.uint8)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
 
@@ -102,7 +98,27 @@ def main():
                               output_predictions=True)
         return jnp.float32(jnp.mean(out['PoG_px_final']))
 
-    ms = chained_ms(step, args.k1, args.k2)
+    return chained_ms(step, k1, k2)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--seq', type=int, default=30)
+    p.add_argument('--k1', type=int, default=2)
+    p.add_argument('--k2', type=int, default=12)
+    p.add_argument('--dtype', default='bfloat16',
+                   choices=['float32', 'bfloat16'])
+    p.add_argument('--tpu-native-arch', action='store_true')
+    p.add_argument('--tpu-native-stem', default='patchify',
+                   choices=['patchify', 'patchify8'])
+    args = p.parse_args()
+
+    ms = measure_device_ms(batch_size=args.batch, seq=args.seq,
+                           dtype=args.dtype,
+                           tpu_native=args.tpu_native_arch,
+                           stem=args.tpu_native_stem,
+                           k1=args.k1, k2=args.k2)
     frames = args.batch * args.seq
     fps = frames / ms * 1e3
     print('device time: %.2f ms/batch (%d frames -> %.0f frames/s/chip)'
