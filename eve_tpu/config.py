@@ -147,6 +147,17 @@ class DefaultConfig(object):
 
     refine_net_do_offset_augmentation = True
     refine_net_offset_augmentation_sigma = 3.0
+    # Per-sample probability of ZEROING the offset augmentation (training
+    # sees the true initial estimate instead of a kappa-offset one).
+    # 0.0 = reference semantics (every sample augmented,
+    # ref eve.py:462-476). Nonzero values teach estimate-quality-aware
+    # heads — the 'gated' TPU-native readout's gate only learns to KEEP a
+    # good initial if training ever shows it one (with sigma=3 deg the
+    # augmented initial is ~100 px off on average, so at 0.0 the gate
+    # learns "always trust the heatmap" and drags a 15 px initial to the
+    # ~20 px heatmap readout — measured, BASELINE.md round-5 staged
+    # study). Recommended 0.5 with tpu_native_refine_head='gated'.
+    refine_net_offset_augmentation_zero_prob = 0.0
 
     refine_net_use_skip_connections = True
 

@@ -47,6 +47,9 @@ class EveSpec:
     refine_net_enabled: bool = False
     refine_net_do_offset_augmentation: bool = True
     refine_net_offset_augmentation_sigma: float = 3.0
+    # Per-sample probability of keeping the TRUE initial (zero offset)
+    # during augmented training; see config.py for the rationale.
+    refine_net_offset_augmentation_zero_prob: float = 0.0
     refine_net_use_skip_connections: bool = True
     refine_net_use_rnn: bool = True
     refine_net_rnn_type: str = 'CGRU'
@@ -122,6 +125,8 @@ class EveSpec:
                 config.refine_net_do_offset_augmentation),
             refine_net_offset_augmentation_sigma=(
                 config.refine_net_offset_augmentation_sigma),
+            refine_net_offset_augmentation_zero_prob=getattr(
+                config, 'refine_net_offset_augmentation_zero_prob', 0.0),
             refine_net_use_skip_connections=(
                 config.refine_net_use_skip_connections),
             refine_net_use_rnn=config.refine_net_use_rnn,
@@ -271,9 +276,22 @@ def calculate_additional_labels(spec: EveSpec, batch, rng, training):
                 'both or neither')
         else:
             assert rng is not None
-            kl, kr = jax.random.split(rng)
+            zp = float(spec.refine_net_offset_augmentation_zero_prob)
+            if zp > 0.0:
+                # One keep/zero draw per SAMPLE, shared by both eyes: a
+                # clip is either augmented or shows the true initial.
+                # The key split stays 2-way at zp=0 so the default kappa
+                # stream is bit-identical to pre-knob behavior.
+                kl, kr, kz = jax.random.split(rng, 3)
+                keep = (jax.random.uniform(kz, (B, 1), jnp.float32)
+                        >= zp).astype(jnp.float32)
+            else:
+                kl, kr = jax.random.split(rng)
+                keep = None
             for side, key in (('left', kl), ('right', kr)):
                 kappa = std * jax.random.normal(key, (B, 2), jnp.float32)
+                if keep is not None:
+                    kappa = kappa * keep
                 labels[side + '_kappa_fake'] = jnp.broadcast_to(
                     kappa[:, None, :], (B, T, 2))
 

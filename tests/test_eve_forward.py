@@ -64,6 +64,53 @@ def test_forward_training_offset_augmentation(setup):
     assert np.isfinite(float(out['full_loss']))
 
 
+def test_offset_augmentation_zero_prob(setup):
+    """zero_prob mixes clean samples into the kappa offset augmentation.
+
+    At 1.0 every kappa is exactly zero (training sees the true initial);
+    at 0.0 the stream is bit-identical to the pre-knob default (2-way key
+    split preserved); at 0.5 both regimes appear, and the keep/zero draw
+    is shared by the two eyes (a clip is clean or augmented, never half).
+    No reference counterpart (ref eve.py:462-476 always augments) — this
+    trains the gated readout's estimate-quality awareness (BASELINE.md
+    round-5 staged study)."""
+    spec, params, batch = setup
+    rng = jax.random.PRNGKey(11)
+
+    def kappas(zp):
+        s = small_spec(refine_net_offset_augmentation_zero_prob=zp)
+        labels = eve_lib.calculate_additional_labels(
+            s, batch, rng, training=True)
+        return (np.asarray(labels['left_kappa_fake']),
+                np.asarray(labels['right_kappa_fake']))
+
+    l0, r0 = kappas(0.0)
+    l1, r1 = kappas(1.0)
+    assert np.all(l1 == 0.0) and np.all(r1 == 0.0)
+    assert np.any(l0 != 0.0) and np.any(r0 != 0.0)
+
+    # Default stream unchanged: same rng, zp=0 twice -> identical.
+    l0b, _ = kappas(0.0)
+    np.testing.assert_array_equal(l0, l0b)
+
+    # Mixed regime: per-sample zeroing, shared across eyes. With B=2 and
+    # a fixed key this is deterministic; scan a few keys so the test does
+    # not depend on one key's draw.
+    saw_clean = saw_aug = False
+    for seed in range(8):
+        s = small_spec(refine_net_offset_augmentation_zero_prob=0.5)
+        labels = eve_lib.calculate_additional_labels(
+            s, batch, jax.random.PRNGKey(seed), training=True)
+        lk = np.asarray(labels['left_kappa_fake'])[:, 0, :]
+        rk = np.asarray(labels['right_kappa_fake'])[:, 0, :]
+        for b in range(lk.shape[0]):
+            lz, rz = np.all(lk[b] == 0.0), np.all(rk[b] == 0.0)
+            assert lz == rz, 'keep/zero draw must be shared across eyes'
+            saw_clean |= lz
+            saw_aug |= not lz
+    assert saw_clean and saw_aug
+
+
 @pytest.mark.slow
 def test_forward_no_refine():
     spec = small_spec(refine_net_enabled=False, load_screen_content=False)
